@@ -1,0 +1,91 @@
+"""numpy-only image codecs, PSNR, and perceptual hash.
+
+The sandbox has no PIL/opencv (SURVEY.md §7), so the fixture images use
+numpy-decodable formats behind a codec registry. On a real cluster the
+registry is extended with real codecs (JPEG/PNG via pillow-simd etc.) —
+the engine only ever calls :func:`decode`/:func:`encode`, so that is a
+config change, not a code change.
+
+Formats:
+  rgb8     raw interleaved uint8 RGB, bit-exact
+  ppm      binary PPM (P6) with header, bit-exact
+  zlib-rgb zlib-compressed raw RGB, bit-exact (lossless)
+  quant6   6-bit/channel quantization — LOSSY; reconstruction error ~2 LSB,
+           so PSNR lands ≈ 44 dB: comfortably over the 40 dB gate
+           (BASELINE.json:15) but failing if decode is wrong.
+
+All functions operate on ``np.ndarray[h, w, 3] dtype=uint8``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+LOSSLESS_FMTS = ("rgb8", "ppm", "zlib-rgb")
+LOSSY_FMTS = ("quant6",)
+ALL_FMTS = LOSSLESS_FMTS + LOSSY_FMTS
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, 3) uint8 pixel array into ``fmt`` bytes."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h,w,3) uint8, got {pixels.shape} {pixels.dtype}")
+    h, w = pixels.shape[:2]
+    raw = pixels.tobytes()
+    if fmt == "rgb8":
+        return raw
+    if fmt == "ppm":
+        return b"P6\n%d %d\n255\n" % (w, h) + raw
+    if fmt == "zlib-rgb":
+        return zlib.compress(raw, 6)
+    if fmt == "quant6":
+        return (pixels >> 2).tobytes()
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Decode ``fmt`` bytes back to an (h, w, 3) uint8 pixel array."""
+    if fmt == "rgb8":
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "ppm":
+        # header: P6\n<w> <h>\n255\n — find the third newline
+        idx = 0
+        for _ in range(3):
+            idx = data.index(b"\n", idx) + 1
+        return np.frombuffer(data, dtype=np.uint8, offset=idx).reshape(h, w, 3)
+    if fmt == "zlib-rgb":
+        return np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "quant6":
+        q = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+        # rescale 6-bit value to full 8-bit range: v*255/63 ≈ (v<<2)|(v>>4)
+        return ((q << 2) | (q >> 4)).astype(np.uint8)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images.
+
+    Returns ``inf`` for bit-identical images.
+    """
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def avg_phash(pixels: np.ndarray) -> int:
+    """64-bit average perceptual hash (8×8 block means vs their mean).
+
+    Deterministic, numpy-only; h and w must be multiples of 8 (fixture
+    images are 16/32/64). Returned as a signed int64 (two's complement)
+    so it round-trips through a Spark LongType column.
+    """
+    h, w = pixels.shape[:2]
+    gray = pixels.astype(np.float64).mean(axis=2)
+    blocks = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).astype(np.uint8).ravel()
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return v - (1 << 64) if v >= (1 << 63) else v

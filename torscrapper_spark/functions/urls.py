@@ -1,0 +1,99 @@
+"""URL canonicalization / domain extraction kernels.
+
+ONE vectorized implementation (:func:`canonicalize_series`, pure pandas)
+is the single source of truth: the Spark engine wraps it in a scalar
+pandas UDF (Arrow-batched — BASELINE.json:15 "no per-row Python" at the
+Spark layer), and the pure-Python reference simulator calls the same
+function on small batches. Crawl-order equivalence (BASELINE.json:14)
+therefore cannot be broken by two drifting canonicalizers.
+
+Canonical form handled (matches the fixture noise variants, FIXTURES.md A1):
+  - strip surrounding whitespace
+  - drop the fragment (``#...``)
+  - lowercase scheme and host
+  - drop an explicit default port ``:80``
+  - empty path → ``/``
+  - sort query parameters bytewise (``?b=2&a=1`` → ``?a=1&b=2``);
+    an empty query string (bare ``?``) is dropped
+URLs that do not look like ``scheme://host...`` are returned stripped
+but otherwise untouched (the robots/frontier gates drop them later).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+_URL_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+    r"(?P<host>[^/?#]*)"
+    r"(?P<path>[^?#]*)"
+    r"(?:\?(?P<query>[^#]*))?"
+)
+
+
+def _sort_query(q: str) -> str:
+    return "&".join(sorted(q.split("&")))
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalization of a Series of URL strings."""
+    s = urls.astype("string").str.strip()
+    s = s.str.split("#", n=1).str[0]
+    parts = s.str.extract(_URL_RE)
+    ok = parts["scheme"].notna()
+    scheme = parts["scheme"].str.lower()
+    host = parts["host"].str.lower().str.replace(r":80$", "", regex=True)
+    path = parts["path"].fillna("")
+    path = path.mask(path == "", "/")
+    query = parts["query"]
+    has_q = query.notna() & (query != "")
+    # pandas .map on the (minority) rows that carry a query string; the
+    # batch still crosses the JVM↔Python boundary once per Arrow batch.
+    sorted_q = query[has_q].map(_sort_query)
+    out = scheme + "://" + host + path
+    out[has_q] = out[has_q] + "?" + sorted_q
+    out = out.where(ok, s)
+    return out.astype(object).astype(str)
+
+
+def canonicalize_one(url: str) -> str:
+    """Scalar wrapper used by the reference simulator (same kernel)."""
+    return canonicalize_series(pd.Series([url])).iloc[0]
+
+
+# href extraction — shared by the engine's pandas UDF and the reference
+# simulator (the sandbox has no bs4; SURVEY.md §7 mandates vectorized regex)
+HREF_RE = r'href="([^"]+)"'
+
+
+def extract_links_series(html: pd.Series) -> pd.Series:
+    """Vectorized href extraction: Series[str html] → Series[list[str]]."""
+    out = html.astype("string").str.findall(HREF_RE)
+    return out.apply(lambda v: v if isinstance(v, list) else [])
+
+
+_DOMAIN_RE = r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)"
+
+
+def domain_series(canonical_urls: pd.Series) -> pd.Series:
+    """Host part of already-canonicalized URLs ('' when not a URL)."""
+    d = canonical_urls.astype("string").str.extract(_DOMAIN_RE)[0]
+    return d.fillna("").astype(object).astype(str)
+
+
+def domain_one(url: str) -> str:
+    return domain_series(pd.Series([url])).iloc[0]
+
+
+def path_of(canonical_url: str) -> str:
+    """Path+query of a canonical URL (used by the refsim robots gate)."""
+    rest = canonical_url.split("://", 1)[-1]
+    i = rest.find("/")
+    return rest[i:] if i >= 0 else "/"
+
+
+def robots_disallowed(path: str, disallow: list[str] | None) -> bool:
+    """True when ``path`` matches any disallow prefix ('' entries ignored)."""
+    if not disallow:
+        return False
+    return any(p and path.startswith(p) for p in disallow)

@@ -1,0 +1,145 @@
+"""URL-seen filter: exact anti-join + partitioned bloom fast path.
+
+SURVEY.md A7/A8; BASELINE.json:6 "partitioned cuckoo/bloom URL-seen
+filter keyed on canonicalized+hashed onion URLs".
+
+Semantics are anchored by the EXACT path: ``candidates LEFT ANTI JOIN
+seen ON url_hash``. The bloom path is a pure pre-filter — per
+hash-partition bitmaps (``pid = pmod(url_hash, P)``) built and probed in
+Arrow-batched pandas functions. A bloom has no false negatives, so
+
+  new = probe_negative(candidates)  ∪  (probe_positive(candidates) ∖ seen)
+
+is exactly equal to the anti-join, while the expensive shuffle against
+the 10^10-row seen table only carries the (tiny) bloom-positive subset.
+
+Scale notes:
+  * bitmaps live as one ``binary`` row per pid — P≈150–200 shards of
+    ≤128 MB cover 10^10 keys at ~14 bits/key (SURVEY.md §4.4); in the
+    sandbox the defaults are tiny
+  * build/update and probe use ``cogroup().applyInPandas`` keyed on
+    pid — no driver collect, no broadcast of state, co-partitioned by
+    the same key across waves
+  * updates are INCREMENTAL: each wave ORs only the new delta's bits
+    into the previous bitmaps (O(delta), not O(seen))
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_SCHEMA = "pid int, bitmap binary, nbits int, k int"
+
+
+def exact_new(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """Candidates whose url_hash is not in the seen set (authoritative)."""
+    return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+
+def _positions(hashes: np.ndarray, nbits: int, k: int) -> np.ndarray:
+    """k probe positions per hash via double hashing (h1 + i*h2) % nbits."""
+    h = hashes.astype(np.uint64)
+    h1 = h
+    h2 = ((h >> np.uint64(17)) ^ (h << np.uint64(31))) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(nbits)).astype(np.int64)
+
+
+def _set_bits(bitmap: np.ndarray, pos: np.ndarray) -> None:
+    np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+
+def _test_bits(bitmap: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """pos shape (k, n) → bool[n]: all k bits set."""
+    got = (bitmap[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return got.all(axis=0)
+
+
+def empty_bloom(spark, num_shards: int, nbits: int, k: int) -> DataFrame:
+    pdf = pd.DataFrame({
+        "pid": np.arange(num_shards, dtype="int32"),
+        "bitmap": [bytes(nbits // 8)] * num_shards,
+        "nbits": np.full(num_shards, nbits, dtype="int32"),
+        "k": np.full(num_shards, k, dtype="int32"),
+    })
+    return spark.createDataFrame(pdf, BLOOM_SCHEMA)
+
+
+def with_pid(df: DataFrame, num_shards: int, hash_col: str = "url_hash") -> DataFrame:
+    return df.withColumn(
+        "pid", F.pmod(F.col(hash_col), F.lit(num_shards)).cast("int")
+    )
+
+
+def update_bloom(bloom: DataFrame, delta: DataFrame, num_shards: int) -> DataFrame:
+    """OR the delta's url_hash bits into the per-pid bitmaps (incremental)."""
+    d = with_pid(delta.select("url_hash"), num_shards)
+
+    def merge(key, hashes_it: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+        if len(state) == 0:  # shard missing — should not happen; keep delta-less
+            return pd.DataFrame(
+                columns=["pid", "bitmap", "nbits", "k"]
+            ).astype({"pid": "int32", "nbits": "int32", "k": "int32"})
+        row = state.iloc[0]
+        nbits, k = int(row.nbits), int(row.k)
+        bm = np.frombuffer(row.bitmap, dtype=np.uint8).copy()
+        if len(hashes_it):
+            pos = _positions(hashes_it["url_hash"].to_numpy(), nbits, k)
+            _set_bits(bm, pos)
+        return pd.DataFrame(
+            {"pid": [int(row.pid)], "bitmap": [bm.tobytes()],
+             "nbits": [nbits], "k": [k]}
+        )
+
+    return (
+        d.groupBy("pid")
+        .cogroup(bloom.groupBy("pid"))
+        .applyInPandas(merge, BLOOM_SCHEMA)
+    )
+
+
+def probe_bloom(
+    candidates: DataFrame, bloom: DataFrame, num_shards: int
+) -> DataFrame:
+    """Adds ``maybe_seen boolean``; False ⇒ definitely not in the seen set."""
+    cols = candidates.columns
+    c = with_pid(candidates, num_shards)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in c.schema.fields
+    ) + ", maybe_seen boolean"
+
+    def probe(key, cand: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0:
+            return cand.assign(maybe_seen=pd.Series([], dtype="bool"))
+        if len(state) == 0:
+            return cand.assign(maybe_seen=True)  # no shard ⇒ fall back to exact
+        row = state.iloc[0]
+        bm = np.frombuffer(row.bitmap, dtype=np.uint8)
+        pos = _positions(cand["url_hash"].to_numpy(), int(row.nbits), int(row.k))
+        return cand.assign(maybe_seen=_test_bits(bm, pos))
+
+    probed = (
+        c.groupBy("pid")
+        .cogroup(bloom.groupBy("pid"))
+        .applyInPandas(probe, out_schema)
+    )
+    return probed.select(*cols, "maybe_seen")
+
+
+def new_candidates(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: DataFrame | None,
+    num_shards: int,
+    use_bloom: bool,
+) -> DataFrame:
+    """Exact set difference, bloom-accelerated when enabled."""
+    if not use_bloom or bloom is None:
+        return exact_new(candidates, seen)
+    probed = probe_bloom(candidates, bloom, num_shards)
+    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return definitely_new.unionByName(exact_new(maybe, seen))

@@ -1,0 +1,279 @@
+"""The wave-synchronous crawl loop (SURVEY.md §3.2).
+
+Each wave is ONE iteration of the driver-side Python loop (Catalyst has
+no fixpoint operator; SURVEY.md §4.3) and every iteration reads its
+input state from the previous wave's committed snapshot and writes the
+next snapshot. That design makes every wave a resume: lineage truncates
+at the parquet boundary (plans never grow across waves), and killing
+the process between any two commits and restarting provably continues
+identically — the resume test is just the crawl loop itself.
+
+Wave w dataflow (all lazy until the snapshot writes):
+
+  frontier_w ──budget_select──▶ selected ──⋈ pagestore──▶ fetched
+       │                           │                         │
+       │                           └──anti-join──┐     decode_validate
+       │                                         │           │
+       │              trace_w ◀──with_global_seq─┼───────────┤
+       │                                         │     extract_candidates
+       │                                         │           │
+       │                          new = candidates ∖ seen (bloom-accelerated)
+       │                                         │
+  frontier_{w+1} = (frontier_w ∖ selected) ∪ robots_gate(new)   [salted]
+  seen_{w+1}    += new            bloom_{w+1} = bloom_w | bits(new)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import DEFAULT_BUDGET
+from ..functions.spark_udfs import canonicalize_udf, domain_col, url_hash_col
+from ..operators.fetch import decode_validate, fetch_join
+from ..operators.links import extract_candidates
+from ..operators.politeness import PRIORITY_COLS, budget_select, robots_gate
+from ..operators.seen import empty_bloom, new_candidates, update_bloom
+from ..operators.seq import with_global_seq
+from ..sources.tableio import SnapshotStore
+
+FRONTIER_COLS = ["url", "url_hash", "domain", "depth", "discovered_wave"]
+
+PAGESTORE_COLS = [
+    "url", "url_hash", "image_id", "bytes", "w", "h", "fmt",
+    "caption", "ref_caption", "phash", "ref_bytes", "html",
+]
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    max_waves: int = 8
+    default_budget: int = DEFAULT_BUDGET
+    use_bloom: bool = True
+    bloom_shards: int = 8
+    bloom_bits: int = 1 << 16     # per shard; size for ~14 bits/key at scale
+    bloom_k: int = 5
+    salt_buckets: int = 0         # >1 enables two-phase budget top-k
+    frontier_salt: int = 8        # salted repartition width (A17)
+    pagestore_buckets: int = 0    # >0: pagestore is bucket-partitioned (DPP)
+
+
+def load_pagestore(
+    spark: SparkSession, path: str, buckets: int = 0
+) -> DataFrame:
+    """Read the pagestore and attach the join keys.
+
+    Only the fetch-path columns are selected so Catalyst prunes
+    ``out_links`` (and on a columnar store, any column a stage does not
+    touch — the biggest I/O lever on an image table, SURVEY.md §4.2).
+    """
+    ps = spark.read.parquet(path)
+    ps = ps.withColumn("url_hash", url_hash_col("url"))
+    cols = list(PAGESTORE_COLS)
+    if buckets > 0:
+        if "bucket" not in ps.columns:
+            ps = ps.withColumn(
+                "bucket", F.pmod(F.col("url_hash"), F.lit(buckets)).cast("int")
+            )
+        cols.append("bucket")
+    return ps.select(*cols)
+
+
+def canonical_seeds(seeds: DataFrame) -> DataFrame:
+    """Canonicalize + dedup seeds keeping the lowest seq (A1/A9)."""
+    s = seeds.select("seq", canonicalize_udf(F.col("url")).alias("url"))
+    dedup = s.groupBy("url").agg(F.min("seq").alias("seq"))
+    return dedup.select(
+        "url",
+        url_hash_col("url").alias("url_hash"),
+        domain_col("url").alias("domain"),
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(0).cast("int").alias("discovered_wave"),
+    )
+
+
+def init_state(
+    spark: SparkSession,
+    store: SnapshotStore,
+    seeds: DataFrame,
+    robots: DataFrame,
+    cfg: CrawlConfig,
+) -> None:
+    """Write the wave-0 snapshot (frontier/seen/bloom) and commit it."""
+    canon = canonical_seeds(seeds).persist()
+    seen0 = canon.select(
+        "url_hash", F.lit(0).cast("int").alias("wave_added")
+    )
+    frontier0 = robots_gate(canon, robots).select(*FRONTIER_COLS)
+    store.write(frontier0, "frontier", 0)
+    store.write(seen0, "seen", 0)
+    if cfg.use_bloom:
+        bloom0 = update_bloom(
+            empty_bloom(spark, cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k),
+            store.read(spark, "seen", 0),
+            cfg.bloom_shards,
+        )
+        store.write(bloom0, "bloom", 0)
+    n_frontier = store.read(spark, "frontier", 0).count()
+    n_seen = store.read(spark, "seen", 0).count()
+    canon.unpersist()
+    store.commit(0, {"frontier_count": n_frontier, "seen_total": n_seen})
+
+
+def run_wave(
+    spark: SparkSession,
+    store: SnapshotStore,
+    pagestore: DataFrame,
+    robots: DataFrame,
+    politeness: DataFrame,
+    cfg: CrawlConfig,
+    wave: int,
+) -> dict:
+    """Execute wave ``wave`` (state w → state w+1 + outputs). Returns counts."""
+    frontier = store.read(spark, "frontier", wave)
+    seen = store.read_upto(spark, "seen", wave)
+    bloom = store.read(spark, "bloom", wave) if cfg.use_bloom else None
+
+    selected = budget_select(
+        frontier, politeness, cfg.default_budget, cfg.salt_buckets
+    )
+    if cfg.pagestore_buckets > 0:
+        selected = selected.withColumn(
+            "bucket",
+            F.pmod(F.col("url_hash"), F.lit(cfg.pagestore_buckets)).cast("int"),
+        )
+    selected = selected.persist()
+
+    validated = decode_validate(fetch_join(selected, pagestore)).persist()
+
+    # trace (A20): global priority order within the wave, seq 1-based
+    trace = with_global_seq(
+        validated.select("url", "url_hash", "depth", "discovered_wave", "status"),
+        PRIORITY_COLS,
+    )
+    trace_out = trace.select(
+        F.lit(wave).cast("int").alias("wave"),
+        F.col("seq").cast("long").alias("seq"),
+        "url", "url_hash",
+        F.col("depth").cast("int").alias("depth"),
+        F.col("status").cast("int").alias("status"),
+    )
+    store.write(trace_out, "trace", wave)
+    getattr(trace, "_seq_cache").unpersist()
+
+    # pages snapshot (payload + validation verdicts; html not persisted)
+    store.write(
+        validated.select(
+            F.lit(wave).cast("int").alias("wave"),
+            "url", "url_hash", "image_id", "caption", "fmt", "w", "h",
+            "status", "n_bytes", "decode_ok", "psnr", "psnr_ok",
+            "phash_match", "caption_ok", "valid",
+        ),
+        "pages",
+        wave,
+    )
+
+    # per-partition lineage + metrics (A18)
+    metrics = (
+        validated.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("fetched"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("missing"),
+            F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("decoded"),
+            F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("valid_rows"),
+            F.sum("n_bytes").alias("bytes"),
+            F.min(F.when(F.col("status") == 200, F.col("psnr"))).alias("psnr_min"),
+        )
+        .withColumn("wave", F.lit(wave).cast("int"))
+    )
+    store.write(metrics, "metrics", wave)
+
+    # link extraction → candidates (deduped, min-depth) → truly new URLs
+    candidates = extract_candidates(
+        validated.filter(F.col("status") == 200), next_wave=wave + 1
+    )
+    new = new_candidates(
+        candidates, seen, bloom, cfg.bloom_shards, cfg.use_bloom
+    ).persist()
+
+    seen_delta = new.select(
+        "url_hash", F.lit(wave + 1).cast("int").alias("wave_added")
+    )
+    store.write(seen_delta, "seen", wave + 1)
+
+    # frontier_{w+1}: remaining ∪ robots-allowed new links, salted
+    # repartition on (domain, salt) so hot domains spread over tasks (A17)
+    remaining = frontier.join(
+        selected.select("url_hash"), "url_hash", "left_anti"
+    )
+    inserts = robots_gate(new, robots).select(*FRONTIER_COLS)
+    frontier_next = (
+        remaining.select(*FRONTIER_COLS)
+        .unionByName(inserts)
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64("url"), F.lit(cfg.frontier_salt)).cast("int")
+        )
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                     "domain", "_salt")
+        .drop("_salt")
+    )
+    store.write(frontier_next, "frontier", wave + 1)
+
+    if cfg.use_bloom:
+        bloom_next = update_bloom(
+            bloom, store.read(spark, "seen", wave + 1), cfg.bloom_shards
+        )
+        store.write(bloom_next, "bloom", wave + 1)
+
+    # counts from the written snapshot (cheap scans; also the commit record)
+    n_fetched = validated.count()
+    n_new = new.count()
+    n_frontier = store.read(spark, "frontier", wave + 1).count()
+    n_seen_prev = store.manifest(wave)["seen_total"]
+    selected.unpersist()
+    validated.unpersist()
+    new.unpersist()
+    info = {
+        "frontier_count": n_frontier,
+        "seen_total": int(n_seen_prev) + n_new,
+        "fetched": n_fetched,
+        "new_urls": n_new,
+    }
+    store.commit(wave + 1, info)
+    return info
+
+
+def run_crawl(
+    spark: SparkSession,
+    store: SnapshotStore,
+    pagestore: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    politeness: DataFrame,
+    cfg: CrawlConfig = CrawlConfig(),
+) -> dict:
+    """Run (or resume) the crawl until frontier exhaustion or max_waves.
+
+    Resume needs no special casing: if a committed snapshot exists the
+    loop simply continues from it (BASELINE.json:14 "resumable restarts").
+    """
+    if store.last_wave() is None:
+        init_state(spark, store, seeds, robots, cfg)
+    wave = store.last_wave()
+    total_fetched = 0
+    while wave < cfg.max_waves:
+        if store.manifest(wave)["frontier_count"] == 0:
+            break
+        info = run_wave(spark, store, pagestore, robots, politeness, cfg, wave)
+        total_fetched += info["fetched"]
+        wave += 1
+    final = store.manifest(store.last_wave())
+    return {
+        "waves_run": store.last_wave(),
+        "fetched_total": total_fetched,
+        "seen_total": final["seen_total"],
+        "frontier_left": final["frontier_count"],
+    }
