@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from torscrapper_spark import fixtures
+from torscrapper_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def tiny_tables():
+    return fixtures.generate_all(fixtures.TINY)
+
+
+@pytest.fixture(scope="session")
+def tiny_dir(tiny_tables):
+    d = tempfile.mkdtemp(prefix="tsfx_")
+    fixtures.write_parquet(tiny_tables, d)
+    return d
+
+
+@pytest.fixture()
+def tmp_store_dir():
+    return tempfile.mkdtemp(prefix="tsnap_")

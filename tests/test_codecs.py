@@ -1,0 +1,62 @@
+import numpy as np
+import pytest
+
+from torscrapper_spark.functions import codecs
+
+
+def _img(seed=0, side=16):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("fmt", codecs.LOSSLESS_FMTS)
+def test_lossless_roundtrip_bit_exact(fmt):
+    px = _img(1)
+    out = codecs.decode(codecs.encode(px, fmt), fmt, 16, 16)
+    assert np.array_equal(px, out)
+    assert codecs.psnr(px, out) == float("inf")
+
+
+def test_quant6_lossy_psnr_between_40_and_inf():
+    px = _img(2, 32)
+    out = codecs.decode(codecs.encode(px, "quant6"), "quant6", 32, 32)
+    p = codecs.psnr(px, out)
+    assert 40.0 <= p < 60.0
+    assert not np.array_equal(px, out)
+
+
+def test_psnr_degrades_with_noise():
+    px = _img(3)
+    noisy = px.copy()
+    noisy[0, 0] = 255 - noisy[0, 0]
+    assert codecs.psnr(px, noisy) < float("inf")
+
+
+def test_phash_stable_and_discriminative():
+    a, b = _img(4), _img(5)
+    assert codecs.avg_phash(a) == codecs.avg_phash(a)
+    assert codecs.avg_phash(a) != codecs.avg_phash(b)
+    assert -(1 << 63) <= codecs.avg_phash(a) < (1 << 63)
+
+
+def test_phash_survives_quant6_within_hamming_bound():
+    # validation recomputes phash on the lossy decode; 6-bit quantization
+    # may flip threshold-adjacent bits but must stay within the bound
+    for seed in range(25):
+        px = _img(100 + seed, 32)
+        dec = codecs.decode(codecs.encode(px, "quant6"), "quant6", 32, 32)
+        d = codecs.hamming64(codecs.avg_phash(px), codecs.avg_phash(dec))
+        assert d <= codecs.PHASH_LOSSY_HAMMING, (seed, d)
+
+
+def test_hamming64():
+    assert codecs.hamming64(0, 0) == 0
+    assert codecs.hamming64(-1, 0) == 64
+    assert codecs.hamming64(0b1011, 0b0001) == 2
+
+
+def test_unknown_fmt_raises():
+    with pytest.raises(ValueError):
+        codecs.encode(_img(), "jpeg")
+    with pytest.raises(ValueError):
+        codecs.decode(b"", "jpeg", 1, 1)

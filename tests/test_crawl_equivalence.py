@@ -1,0 +1,90 @@
+"""Golden-trace equivalence: Spark engine vs pure-Python reference
+simulator (BASELINE.json:14 — exact crawl ordering + final seen set
+under the same seed list and politeness budget)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from torscrapper_spark import refsim
+from torscrapper_spark.plans import crawl as C
+from torscrapper_spark.sources.tableio import SnapshotStore
+
+TRACE_COLS = ["wave", "seq", "url", "depth", "status"]
+
+
+def _run_engine(spark, tiny_dir, store_dir, cfg):
+    store = SnapshotStore(store_dir)
+    ps = C.load_pagestore(spark, f"{tiny_dir}/pagestore.parquet")
+    C.run_crawl(
+        spark,
+        store,
+        ps,
+        spark.read.parquet(f"{tiny_dir}/seeds.parquet"),
+        spark.read.parquet(f"{tiny_dir}/robots.parquet"),
+        spark.read.parquet(f"{tiny_dir}/politeness.parquet"),
+        cfg,
+    )
+    return store
+
+
+def _engine_trace(spark, store):
+    pdf = store.read_outputs(spark, "trace").orderBy("wave", "seq").toPandas()
+    return pdf[TRACE_COLS].astype(
+        {"wave": "int64", "seq": "int64", "depth": "int64", "status": "int64"}
+    ).reset_index(drop=True)
+
+
+def _golden_trace(res):
+    return res.trace[TRACE_COLS].astype(
+        {"wave": "int64", "seq": "int64", "depth": "int64", "status": "int64"}
+    ).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "budget,use_bloom", [(5, True), (2, False)], ids=["b5_bloom", "b2_exact"]
+)
+def test_trace_and_seen_match_golden(
+    spark, tiny_tables, tiny_dir, tmp_store_dir, budget, use_bloom
+):
+    t = tiny_tables
+    gold = refsim.simulate(
+        t["pagestore"], t["seeds"], t["robots"], t["politeness"],
+        max_waves=3, default_budget=budget,
+    )
+    cfg = C.CrawlConfig(
+        max_waves=3, default_budget=budget, use_bloom=use_bloom,
+        bloom_shards=4, bloom_bits=1 << 14, salt_buckets=4,
+    )
+    store = _run_engine(spark, tiny_dir, tmp_store_dir, cfg)
+
+    assert _engine_trace(spark, store).equals(_golden_trace(gold))
+
+    # final URL-seen set: hash the golden canonical URLs with the
+    # engine's hash (xxhash64) and compare sets exactly
+    eng_seen = {
+        r.url_hash
+        for r in store.read_upto(spark, "seen", store.last_wave()).collect()
+    }
+    gold_urls = spark.createDataFrame(pd.DataFrame({"url": sorted(gold.seen)}))
+    gold_seen = {
+        r.h for r in gold_urls.select(F.xxhash64("url").alias("h")).collect()
+    }
+    assert eng_seen == gold_seen
+
+
+def test_image_invariants_on_fetched_pages(spark, tiny_dir, tmp_store_dir):
+    """Every successfully fetched page passes the per-row invariant
+    (decode ok, PSNR≥40dB lossy / bit-exact lossless, phash match,
+    caption equality — BASELINE.json:15)."""
+    cfg = C.CrawlConfig(max_waves=2, use_bloom=False)
+    store = _run_engine(spark, tiny_dir, tmp_store_dir, cfg)
+    pages = store.read_outputs(spark, "pages").filter(F.col("status") == 200)
+    n = pages.count()
+    assert n > 0
+    assert pages.filter(~F.col("valid")).count() == 0
+    lossless = pages.filter(F.col("fmt") != "quant6")
+    assert lossless.filter(F.col("psnr") != 99.0).count() == 0  # 99.0 == inf marker
+    lossy = pages.filter(F.col("fmt") == "quant6")
+    assert lossy.filter(F.col("psnr") < 40.0).count() == 0
+    assert lossy.filter(F.col("psnr") > 60.0).count() == 0

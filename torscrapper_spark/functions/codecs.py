@@ -89,3 +89,14 @@ def avg_phash(pixels: np.ndarray) -> int:
     bits = (blocks > blocks.mean()).astype(np.uint8).ravel()
     v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# lossy decode may flip block-mean bits that sit on the threshold, so the
+# perceptual-hash invariant is Hamming-bounded for lossy fmts, exact for
+# lossless
+PHASH_LOSSY_HAMMING = 8
+
+
+def hamming64(a: int, b: int) -> int:
+    """Bit distance between two signed-int64 hashes."""
+    return ((a ^ b) & ((1 << 64) - 1)).bit_count()

@@ -26,7 +26,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.codecs import LOSSY_FMTS, avg_phash, decode, psnr
+from ..functions.codecs import (
+    LOSSY_FMTS,
+    PHASH_LOSSY_HAMMING,
+    avg_phash,
+    decode,
+    hamming64,
+    psnr,
+)
 
 FETCH_COLS = [
     "url", "url_hash", "domain", "depth", "discovered_wave",
@@ -48,10 +55,20 @@ def fetch_join(selected: DataFrame, pagestore: DataFrame) -> DataFrame:
     if "bucket" in pagestore.columns and "bucket" in selected.columns:
         join_keys = ["bucket", *join_keys]
     fetched = selected.join(pagestore, join_keys, "left")
-    return fetched.withColumn(
-        "status",
-        F.when(F.col("image_id").isNull(), F.lit(404)).otherwise(F.lit(200)),
-    ).select(*FETCH_COLS)
+    # 404 rows leave the numeric payload columns NULL; a nullable int64
+    # becomes float64 on the Arrow→pandas hop and silently loses
+    # precision above 2^53 (observed as corrupted phash values), so pin
+    # them to 0 — status 404 already marks the row invalid.
+    return (
+        fetched.withColumn(
+            "status",
+            F.when(F.col("image_id").isNull(), F.lit(404)).otherwise(F.lit(200)),
+        )
+        .withColumn("phash", F.coalesce(F.col("phash"), F.lit(0)))
+        .withColumn("w", F.coalesce(F.col("w"), F.lit(0)))
+        .withColumn("h", F.coalesce(F.col("h"), F.lit(0)))
+        .select(*FETCH_COLS)
+    )
 
 
 def decode_validate(fetched: DataFrame) -> DataFrame:
@@ -82,7 +99,10 @@ def decode_validate(fetched: DataFrame) -> DataFrame:
                 p = psnr(px, ref)
                 psnr_v[i] = p if math.isfinite(p) else 99.0
                 psnr_ok[i] = (p >= 40.0) if fmt in LOSSY_FMTS else (p == float("inf"))
-                phash_match[i] = avg_phash(px) == int(pdf["phash"].iat[i])
+                dist = hamming64(avg_phash(px), int(pdf["phash"].iat[i]))
+                phash_match[i] = dist <= (
+                    PHASH_LOSSY_HAMMING if fmt in LOSSY_FMTS else 0
+                )
                 caption_ok[i] = pdf["caption"].iat[i] == pdf["ref_caption"].iat[i]
             out = pdf[[
                 "url", "url_hash", "domain", "depth", "discovered_wave",
