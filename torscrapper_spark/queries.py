@@ -1,0 +1,1278 @@
+"""Driver-verified query surface (SURVEY.md §2.B).
+
+Each entry is ``name -> (spark_fn, duckdb_sql | None)``. The driver runs
+the Spark DataFrame query and the DuckDB oracle SQL side-by-side at
+sf=0.01 and compares row count + schema + order-insensitive value hash
+(``__spark_entry__.py``), so every computed column is aliased
+identically on both sides and float-parity hazards are avoided by
+construction:
+
+  * SUM/AVG over doubles is order-dependent → aggregate in DECIMAL
+    (exact, associative) and convert to double only afterwards
+  * ``events.value`` carries exactly 2 decimals → integer-cent
+    aggregation is bit-exact on both engines
+  * timestamps are compared as ``unix_micros``/``epoch_us`` bigints or
+    as dates, never as raw session-timezone-dependent timestamps
+  * window/running aggregates fix a total order (ties broken by keys)
+    so both engines fold floats in the same sequence
+
+Queries without an oracle entry (value ``None``) are genuinely
+non-SQL-expressible ops (crawl wave, bloom filter, approx sketches);
+the driver records a weaker rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # session timezone pinned per-call: the driver owns the session and
+    # may not have set UTC; DuckDB timestamps are UTC-naive
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+DEC = "decimal(28,4)"
+
+_REG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        _REG[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def registry() -> dict[str, tuple[Callable, str | None]]:
+    return dict(_REG)
+
+
+# ---------------------------------------------------------------------------
+# Scans / projection / filter
+# ---------------------------------------------------------------------------
+
+@q("q01_scan_filter_project", """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-04-01'
+  AND l_quantity > 25
+""")
+def q01(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1995-04-01")
+            & (F.col("l_quantity") > 25)
+        )
+        .select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (TPC-H Q1 shape: decimal-exact partial+final hash agg)
+# ---------------------------------------------------------------------------
+
+@q("q02_tpch_q1", f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS {DEC})) AS sum_qty,
+       SUM(CAST(l_extendedprice AS {DEC})) AS sum_base_price,
+       SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q02(spark, sf):
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@q("q03_broadcast_join", f"""
+SELECT r.r_name AS region_name,
+       COUNT(*) AS n_customers,
+       SUM(CAST(c.c_acctbal AS {DEC})) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def q03(spark, sf):
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).alias("total_acctbal"),
+        )
+    )
+
+
+@q("q04_shuffle_join_agg", f"""
+SELECT o.o_orderpriority,
+       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS revenue,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""")
+def q04(spark, sf):
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@q("q05_multi_join", f"""
+SELECT n.n_name AS nation_name,
+       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'AMERICA')
+GROUP BY n.n_name
+""")
+def q05(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "AMERICA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("revenue"))
+    )
+
+
+@q("q06_anti_join", """
+SELECT c.c_mktsegment, COUNT(*) AS n_customers_without_big_orders
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+)
+GROUP BY c.c_mktsegment
+""")
+def q06(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_without_big_orders"))
+    )
+
+
+@q("q07_semi_join", """
+SELECT n.n_name AS nation_name, COUNT(*) AS n_active_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n.n_name
+""")
+def q07(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    n = t(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count("*").alias("n_active_customers"))
+    )
+
+
+@q("q08_left_outer_join", """
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+FROM orders o
+LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 49
+GROUP BY o.o_orderstatus
+""")
+def q08(spark, sf):
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    joined = o.join(
+        li, (o.o_orderkey == li.l_orderkey) & (li.l_quantity > 49), "left"
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+    )
+
+
+@q("q09_full_outer_join", """
+WITH s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1),
+     c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1)
+SELECT COALESCE(s.nk, c.nk) AS nationkey,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers,
+       COALESCE(c.n_customers, 0) AS n_customers
+FROM s FULL OUTER JOIN c ON s.nk = c.nk
+""")
+def q09(spark, sf):
+    s = t(spark, sf, "supplier").groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    c = t(spark, sf, "customer").groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_customers")
+    )
+    return (
+        s.join(c, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )
+
+
+@q("q10_theta_band_join", """
+SELECT b.band_id, COUNT(*) AS n_events,
+       SUM(CAST(round(e.value * 100) AS BIGINT)) AS cents
+FROM events e
+JOIN (SELECT n_nationkey AS band_id,
+             n_nationkey * 4.0 AS lo, n_nationkey * 4.0 + 4.0 AS hi
+      FROM nation) b
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band_id
+""")
+def q10(spark, sf):
+    e = t(spark, sf, "events")
+    bands = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 4.0).alias("lo"),
+        (F.col("n_nationkey") * 4.0 + 4.0).alias("hi"),
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e.value >= bands.lo) & (e.value < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sort / top-k (crawl ops A9/A11/A12/A20 decompose into these)
+# ---------------------------------------------------------------------------
+
+@q("q11_asof_join", """
+WITH errors AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), ranked AS (
+    SELECT e.event_id, c.value, c.ts AS click_ts, c.event_id AS click_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY c.ts DESC, c.event_id DESC
+           ) AS rn
+    FROM errors e
+    JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+)
+SELECT e.event_id,
+       r.value AS last_click_value,
+       epoch_us(r.click_ts) AS click_ts_us
+FROM errors e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
+""")
+def q11(spark, sf):
+    """As-of join (no native ASOF in Spark SQL 4.1): per error event, the
+    latest prior click of the same user, via grouped-map merge_asof —
+    the per-group-pandas pattern a cluster uses for time-series aligns
+    (SURVEY.md §2.B range/as-of row)."""
+    import pandas as pd
+
+    e = t(spark, sf, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"), F.col("value"),
+    )
+    def asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        err = (
+            pdf[pdf["_kind"] == "e"][["event_id", "ts"]]
+            .sort_values(["ts", "event_id"])
+        )
+        clk = (
+            pdf[pdf["_kind"] == "c"][["ts", "value"]]
+            .sort_values("ts", kind="stable")
+        )
+        if len(err) == 0:
+            return pd.DataFrame(columns=["event_id", "last_click_value", "click_ts_us"])
+        merged = pd.merge_asof(
+            err, clk.rename(columns={"ts": "click_ts"}),
+            left_on="ts", right_on="click_ts", direction="backward",
+        )
+        return pd.DataFrame({
+            "event_id": merged["event_id"].astype("int64"),
+            "last_click_value": merged["value"],
+            "click_ts_us": merged["click_ts"].map(
+                lambda v: None if pd.isna(v) else int(v.value) // 1000
+            ),
+        })
+
+    tagged = errors.select(
+        "user_id", "event_id", "ts", F.lit(None).cast("double").alias("value"),
+        F.lit("e").alias("_kind"),
+    ).unionByName(
+        clicks.select(
+            "user_id", F.col("click_id").alias("event_id"),
+            F.col("click_ts").alias("ts"), "value", F.lit("c").alias("_kind"),
+        )
+    )
+    return tagged.groupBy("user_id").applyInPandas(
+        asof, "event_id long, last_click_value double, click_ts_us long"
+    )
+
+
+@q("q12_window_rank", """
+SELECT o_custkey, o_orderkey, rnk FROM (
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rnk
+    FROM orders
+) WHERE rnk <= 3
+""")
+def q12(spark, sf):
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@q("q13_window_running_sum", """
+SELECT event_id,
+       SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS running_cents
+FROM events
+WHERE user_id < 20
+""")
+def q13(spark, sf):
+    e = t(spark, sf, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("running_cents"),
+    )
+
+
+@q("q14_window_lag_lead", """
+SELECT event_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS us_since_prev,
+       LEAD(event_type) OVER w AS next_type
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q14(spark, sf):
+    e = t(spark, sf, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; cast to TIMESTAMP (session tz = UTC)
+    # so unix_micros matches DuckDB's epoch_us over the naive value
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return e.select(
+        "event_id",
+        (us - F.lag(us).over(w)).alias("us_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@q("q15_topk", """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+""")
+def q15(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / grouping sets / distinct
+# ---------------------------------------------------------------------------
+
+@q("q16_intersect", """
+SELECT c_custkey FROM customer WHERE c_acctbal > 500
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+""")
+def q16(spark, sf):
+    c = t(spark, sf, "customer").filter(F.col("c_acctbal") > 500).select("c_custkey")
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@q("q17_rollup", f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       SUM(CAST(l_quantity AS {DEC})) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q17(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+@q("q18_cube", """
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+FROM events
+WHERE ts < TIMESTAMP '2024-01-04'
+GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
+""")
+def q18(spark, sf):
+    e = t(spark, sf, "events").filter(F.col("ts") < "2024-01-04").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    return e.cube("event_type", "day").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
+@q("q19_distinct_agg", """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+""")
+def q19(spark, sf):
+    c = t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@q("q19b_approx_distinct", None)  # HLL sketch ≠ DuckDB's sketch → rows-only
+def q19b(spark, sf):
+    e = t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("percentile_approx(value, 0.5)").alias("approx_median_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Function families (string / datetime / math / array / json / hash)
+# ---------------------------------------------------------------------------
+
+@q("q20_string_funcs", """
+SELECT doc_id,
+       upper(substr(text, 1, 10)) AS head10,
+       length(text) AS n_chars_actual,
+       len(string_split(text, ' ')) AS n_tokens,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       concat(lang, ':', source) AS tag,
+       replace(substr(text, 1, 20), ' ', '_') AS snake
+FROM documents
+""")
+def q20(spark, sf):
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head10"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.split("text", " ", -1)).alias("n_tokens"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("tag"),
+        F.regexp_replace(F.substring("text", 1, 20), " ", "_").alias("snake"),
+    )
+
+
+@q("q21_datetime_funcs", """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       EXTRACT(hour FROM ts) AS hr,
+       COUNT(*) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+GROUP BY 1, 2
+""")
+def q21(spark, sf):
+    e = t(spark, sf, "events").filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12")
+    )
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+
+
+@q("q22_math_funcs", """
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(l_extendedprice), 6) AS sqrt_price,
+       round(ln(l_extendedprice + 1), 6) AS ln_price,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(l_partkey % 7 AS BIGINT) AS pmod7
+FROM lineitem
+WHERE l_orderkey < 400
+""")
+def q22(spark, sf):
+    li = t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 400)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.pmod(F.col("l_partkey"), F.lit(7)).cast("long").alias("pmod7"),
+    )
+
+
+@q("q23_array_funcs", """
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+FROM embeddings
+""")
+def q23(spark, sf):
+    em = t(spark, sf, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return em.select(
+        "vec_id", "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+    )
+
+
+@q("q24_json_funcs", """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY 1
+""")
+def q24(spark, sf):
+    e = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy(F.pmod(k, F.lit(10)).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+        )
+    )
+
+
+@q("q25_hash_funcs", """
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       substr(md5(concat(c_name, ':', c_mktsegment)), 1, 8) AS salted8
+FROM customer WHERE c_custkey <= 200
+""")
+def q25(spark, sf):
+    c = t(spark, sf, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.substring(
+            F.md5(F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment"))), 1, 8
+        ).alias("salted8"),
+    )
+
+
+@q("q25b_xxhash64", None)  # xxhash64 has no DuckDB counterpart → rows-only
+def q25b(spark, sf):
+    c = t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("name_xxh"),
+        F.hash("c_name", "c_mktsegment").alias("mixed_hash32"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL kernel on relational data (crawl A4/A5/A6 exercised on fixture tables)
+# ---------------------------------------------------------------------------
+
+@q("q26_url_canonicalize", """
+SELECT c_custkey,
+       'http://d' || CAST(c_custkey AS VARCHAR) || '.onion/p/'
+           || CAST(c_custkey % 7 AS VARCHAR) || '?a=1&b=2' AS canon_url,
+       'd' || CAST(c_custkey AS VARCHAR) || '.onion' AS domain
+FROM customer
+""")
+def q26(spark, sf):
+    """Canonicalization parity: Spark canonicalizes NOISY synthetic URLs
+    with the engine's pandas UDF; the oracle constructs the expected
+    canonical form directly. Passing means the UDF's normalization is
+    exactly the documented one."""
+    from .functions.spark_udfs import canonicalize_udf, domain_col
+
+    c = t(spark, sf, "customer")
+    raw = F.concat(
+        F.lit("HTTP://D"), F.col("c_custkey").cast("string"),
+        F.lit(".ONION:80/p/"), (F.col("c_custkey") % 7).cast("string"),
+        F.lit("?b=2&a=1#frag"),
+    )
+    canon = canonicalize_udf(raw)
+    return c.select(
+        "c_custkey",
+        canon.alias("canon_url"),
+        domain_col(canon).alias("domain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF surfaces (grouped agg / grouped map / mapInPandas)
+# ---------------------------------------------------------------------------
+
+@q("q27_grouped_agg_pandas", """
+SELECT event_type,
+       COUNT(*) AS n,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+FROM events
+GROUP BY event_type
+""")
+def q27(spark, sf):
+    """Grouped-map pandas agg (Arrow batches; integer-cent sum for exact
+    float-free parity with the SQL oracle)."""
+    import pandas as pd
+
+    e = t(spark, sf, "events").select("event_type", "value")
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame({
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n": [len(v)],
+            "v_min": [v.min()],
+            "v_max": [v.max()],
+            "cents": [int((v * 100).round().astype("int64").sum())],
+        })
+
+    return e.groupBy("event_type").applyInPandas(
+        agg, "event_type string, n long, v_min double, v_max double, cents long"
+    )
+
+
+@q("q28_grouped_map_topk", """
+SELECT user_id, event_id, value FROM (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id
+           ) AS rn
+    FROM events
+) WHERE rn <= 2
+""")
+def q28(spark, sf):
+    """Per-group top-k via applyInPandas (the politeness-budget pattern
+    expressed as a grouped-map UDF)."""
+    import pandas as pd
+
+    e = t(spark, sf, "events").select("user_id", "event_id", "value")
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(2)[["user_id", "event_id", "value"]]
+
+    return e.groupBy("user_id").applyInPandas(
+        topk, "user_id long, event_id long, value double"
+    )
+
+
+@q("q29_mapinpandas_tokenize", """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       CASE WHEN text LIKE '%spark%' THEN TRUE ELSE FALSE END AS has_spark
+FROM documents
+WHERE n_chars > 200
+""")
+def q29(spark, sf):
+    """mapInPandas batch transform (the decode/validate pattern)."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").filter(F.col("n_chars") > 200).select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["text"].str.split(" ").str.len().astype("int64"),
+                "has_spark": pdf["text"].str.contains("spark", regex=False),
+            })
+
+    return d.mapInPandas(run, "doc_id long, n_tokens long, has_spark boolean")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family (training-data pipeline ops over `documents`)
+# ---------------------------------------------------------------------------
+
+@q("q30_dedup_exact", """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups,
+       MIN(doc_id) AS first_doc
+FROM documents
+GROUP BY lang
+""")
+def q30(spark, sf):
+    d = t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_SHINGLE_SQL = """
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), idx AS (
+    SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+    FROM words WHERE len(w) >= 3
+), sh AS (
+    SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+    FROM idx
+)
+"""
+
+
+def _shingles(spark, sf) -> DataFrame:
+    """doc_id → exploded word-3-gram shingles (shared by q31/q33/q39)."""
+    d = t(spark, sf, "documents")
+    w = F.split("text", " ", -1)
+    d = d.select("doc_id", w.alias("w")).filter(F.size("w") >= 3)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("w", i + 1),
+            F.element_at("w", i + 2),
+            F.element_at("w", i + 3),
+        ),
+    )
+    return d.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+@q("q31_dedup_minhash_lsh", _SHINGLE_SQL + """
+SELECT doc_id,
+       MIN(md5('0:' || shingle)) AS sig0,
+       MIN(md5('1:' || shingle)) AS sig1,
+       MIN(md5('2:' || shingle)) AS sig2,
+       MIN(md5('3:' || shingle)) AS sig3,
+       substr(md5(MIN(md5('0:' || shingle)) || MIN(md5('1:' || shingle))
+              || MIN(md5('2:' || shingle)) || MIN(md5('3:' || shingle))), 1, 12)
+           AS lsh_bucket
+FROM sh GROUP BY doc_id
+""")
+def q31(spark, sf):
+    """MinHash signatures + LSH band bucket. The 'permutations' are
+    md5 with distinct salts; min() over shingles is the MinHash; the
+    bucket key is the banded signature hash — docs sharing a bucket are
+    near-dup candidates. All string-domain → bit-exact oracle parity."""
+    sh = _shingles(spark, sf)
+    sigs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"sig{p}")
+        for p in range(4)
+    ]
+    out = sh.groupBy("doc_id").agg(*sigs)
+    return out.withColumn(
+        "lsh_bucket",
+        F.substring(
+            F.md5(F.concat("sig0", "sig1", "sig2", "sig3")), 1, 12
+        ),
+    )
+
+
+def _simhash_sql_bits():
+    terms = []
+    for i in range(16):
+        d = f"(strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1)"
+        terms.append(
+            f"SUM(CASE WHEN SUM({d} - 7.5) > 0 THEN 0 ELSE 0 END)"
+        )
+    return terms
+
+
+@q("q32_dedup_simhash", """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), bits AS (
+    SELECT doc_id, """ + ",\n           ".join(
+        f"SUM((strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1) - 7.5)"
+        f" AS s{i}" for i in range(16)
+    ) + """
+    FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       """ + " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    ) + """ AS simhash
+FROM bits
+""")
+def q32(spark, sf):
+    """16-bit SimHash: bit i = sign of Σ_tokens (hexdigit_i(md5(tok)) −
+    7.5). Terms are multiples of 0.5 with small magnitude, so the double
+    sum is EXACT and order-independent — safe float parity."""
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok"))
+    hexd = "0123456789abcdef"
+    aggs = [
+        F.sum(
+            F.instr(F.lit(hexd), F.substring(F.md5("tok"), i + 1, 1)) - 1 - 7.5
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    bits = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return bits.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+@q("q33_dedup_ngram_jaccard", _SHINGLE_SQL + """
+, ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+ORDER BY jaccard DESC, p.doc_a, p.doc_b
+LIMIT 20
+""")
+def q33(spark, sf):
+    """n-gram Jaccard near-dup: candidate pairs via shared-shingle join
+    (never all-pairs — the join IS the blocking step), exact Jaccard on
+    candidates, deterministic top-20."""
+    ds = _shingles(spark, sf).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (ANN)
+# ---------------------------------------------------------------------------
+
+@q("q34_ann_cosine_topk", """
+WITH qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+    SELECT qv.q_id, e.vec_id AS neighbor,
+           round(list_sum(list_transform(list_zip(qv.qe, e.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS cos
+    FROM qv JOIN embeddings e ON e.vec_id != qv.q_id
+)
+SELECT q_id, neighbor, cos FROM (
+    SELECT q_id, neighbor, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rn
+    FROM scored
+) WHERE rn <= 3
+""")
+def q34(spark, sf):
+    """Brute-force cosine top-k (baseline ANN; embeddings are unit-norm
+    so cosine == dot). JVM-side zip_with/aggregate — no Python on the
+    hot path. The scale path is q35 (bucketed search)."""
+    em = t(spark, sf, "embeddings")
+    qv = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    e = em.select(F.col("vec_id").alias("neighbor"), "embedding")
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(qv).join(e, F.col("neighbor") != F.col("q_id"))
+        .select("q_id", "neighbor", F.round(dot, 6).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "neighbor")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "neighbor", "cos")
+    )
+
+
+@q("q35_ann_ivf_bucketed", None)  # scale path: centroid routing via numpy → rows-only
+def q35(spark, sf):
+    """IVF-style ANN: coarse quantizer = per-label centroids (labels act
+    as the inverted lists); each query searches only its top-2 nearest
+    lists. At 10^10-vector scale the lists are hash-partitioned and the
+    per-list scan is an applyInPandas over co-partitioned data — here
+    the routing table is tiny and broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    em = t(spark, sf, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).mean(axis=0)
+        return pd.DataFrame({"label": [int(pdf["label"].iloc[0])], "centroid": [m.tolist()]})
+
+    cents = em.groupBy("label").applyInPandas(
+        centroid, "label int, centroid array<double>"
+    )
+    qv = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cdot = F.aggregate(
+        F.zip_with("qe", "centroid", lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    routed = (
+        qv.join(F.broadcast(cents))
+        .select("q_id", "qe", "label", cdot.alias("cscore"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cscore").desc(), "label")
+    probe = routed.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= 2)
+    e = em.select(F.col("vec_id").alias("neighbor"), F.col("label"), "embedding")
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = (
+        probe.select("q_id", "qe", "label").join(e, "label")
+        .filter(F.col("neighbor") != F.col("q_id"))
+        .select("q_id", "neighbor", F.round(dot, 6).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "neighbor")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "neighbor", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+@q("q36_lang_id", """
+WITH toks AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+           len(string_split(text, ' '))
+             - len(string_split(replace(' ' || text || ' ', ' the ', '  '), ' ')) AS x
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang, n_tokens,
+           (length(text) - length(replace(text, ' the ', '    '))) / 6 AS n_the,
+           (length(text) - length(replace(text, ' a ', '   '))) / 3 AS n_a
+    FROM documents JOIN toks USING (doc_id, lang)
+)
+SELECT doc_id, lang,
+       CASE WHEN (n_the + n_a) * 20 >= n_tokens THEN 'en' ELSE 'other' END AS pred_lang
+FROM scored
+""")
+def q36(spark, sf):
+    """Marker-token language-ID heuristic (stopword density)."""
+    d = t(spark, sf, "documents")
+    n_tokens = F.size(F.split("text", " ", -1))
+    n_the = (F.length("text") - F.length(F.regexp_replace("text", " the ", "    "))) / 6
+    n_a = (F.length("text") - F.length(F.regexp_replace("text", " a ", "   "))) / 3
+    return d.select(
+        "doc_id", "lang",
+        F.when((n_the + n_a) * 20 >= n_tokens, F.lit("en"))
+        .otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+@q("q37_quality_score", """
+SELECT doc_id,
+       length(text) AS n_chars_q,
+       len(string_split(text, ' ')) AS n_tokens,
+       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+       CASE WHEN length(text) BETWEEN 100 AND 2000
+                 AND CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+                     BETWEEN 3.0 AND 12.0
+            THEN 1 ELSE 0 END AS quality_ok
+FROM documents
+""")
+def q37(spark, sf):
+    """Length/word-shape quality gate (training-data filtering op)."""
+    d = t(spark, sf, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split("text", " ", -1))
+    avg_len = n_chars.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        F.when(
+            n_chars.between(100, 2000) & avg_len.between(3.0, 12.0), 1
+        ).otherwise(0).alias("quality_ok"),
+    )
+
+
+@q("q38_token_stats", f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       SUM(CAST(n_chars AS {DEC})) AS total_chars,
+       CAST(SUM(CAST(n_chars AS {DEC})) AS DOUBLE)
+           / SUM(len(string_split(text, ' '))) AS chars_per_token
+FROM documents
+GROUP BY lang
+""")
+def q38(spark, sf):
+    d = t(spark, sf, "documents")
+    n_tokens = F.size(F.split("text", " ", -1)).cast("long")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.sum(F.col("n_chars").cast(DEC)).alias("total_chars"),
+        (F.sum(F.col("n_chars").cast(DEC)).cast("double") / F.sum(n_tokens)).alias("chars_per_token"),
+    )
+
+
+@q("q39_fingerprint", _SHINGLE_SQL + """
+SELECT doc_id,
+       MIN(md5(shingle)) AS fingerprint,
+       COUNT(DISTINCT shingle) AS n_distinct_shingles
+FROM sh GROUP BY doc_id
+""")
+def q39(spark, sf):
+    """Winnowing-lite document fingerprint: min hash over rolling word
+    3-gram shingles + shingle cardinality."""
+    sh = _shingles(spark, sf)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.countDistinct("shingle").alias("n_distinct_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (real readStream → memory sink, drained to batch;
+# over a bounded replay the result equals the batch SQL, which is the oracle)
+# ---------------------------------------------------------------------------
+
+@q("q40_stream_tumbling_window", """
+SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS win_start_us,
+       event_type,
+       COUNT(*) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+FROM events
+GROUP BY 1, 2
+""")
+def q40(spark, sf):
+    from .streaming.events import tumbling_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return tumbling_counts(spark, sf)
+
+
+@q("q41_stream_session_window", """
+WITH ordered AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) > 300000000 OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) IS NULL
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+), islands AS (
+    SELECT user_id, ts,
+           SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sess
+    FROM ordered
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n_events
+FROM islands GROUP BY user_id, sess
+""")
+def q41(spark, sf):
+    from .streaming.events import session_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return session_counts(spark, sf, gap="5 minutes")
+
+
+@q("q42_stream_dedup", """
+SELECT event_type, COUNT(DISTINCT event_id) AS n
+FROM events GROUP BY event_type
+""")
+def q42(spark, sf):
+    from .streaming.events import streaming_dedup_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return streaming_dedup_counts(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# Crawl flagship (rows-only: wave semantics are verified against the
+# golden reference simulator in tests/, not expressible in one SQL)
+# ---------------------------------------------------------------------------
+
+def _derived_graph_cfg(n_docs: int):
+    """Deterministic GraphConfig derived from a testdata table size."""
+    from .fixtures import GraphConfig
+
+    n_domains = max(10, min(40, n_docs // 25))
+    return GraphConfig(
+        seed=42, n_domains=n_domains, pages_per_domain=10,
+        links_per_page=4, n_seeds=8, img_sizes=(16,),
+    )
+
+
+def crawl_trace_from_documents(spark, sf, max_waves=2):
+    """Run the full crawl engine over a synthetic onion graph whose size
+    is derived from the sf tier's documents table; returns the trace."""
+    import tempfile
+
+    from . import fixtures
+    from .plans import crawl as C
+    from .sources.tableio import SnapshotStore
+
+    n_docs = t(spark, sf, "documents").count()
+    cfg_g = _derived_graph_cfg(n_docs)
+    tables = fixtures.generate_all(cfg_g)
+    d = tempfile.mkdtemp(prefix="crawlq_")
+    fixtures.write_parquet(tables, d)
+    store = SnapshotStore(tempfile.mkdtemp(prefix="crawlsnap_"))
+    C.run_crawl(
+        spark,
+        store,
+        C.load_pagestore(spark, f"{d}/pagestore.parquet"),
+        spark.read.parquet(f"{d}/seeds.parquet"),
+        spark.read.parquet(f"{d}/robots.parquet"),
+        spark.read.parquet(f"{d}/politeness.parquet"),
+        C.CrawlConfig(max_waves=max_waves, use_bloom=True,
+                      bloom_shards=4, bloom_bits=1 << 14),
+    )
+    return store.read_outputs(spark, "trace").orderBy("wave", "seq")
+
+
+@q("q43_crawl_wave_trace", None)
+def q43(spark, sf):
+    return crawl_trace_from_documents(spark, sf, max_waves=2)

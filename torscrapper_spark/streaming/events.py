@@ -1,0 +1,93 @@
+"""Structured Streaming surface over the ``events`` table.
+
+These are real ``readStream`` → stateful transform → memory-sink
+queries, driven to completion synchronously with
+``processAllAvailable`` (bounded input), then returned as ordinary
+DataFrames so the driver can compare them against batch SQL oracles:
+over a bounded replay, a tumbling-window count / session window /
+streaming dedup produces exactly the batch answer, which is what makes
+the oracle comparison meaningful.
+
+On a real deployment the source line changes to Kafka/files-on-arrival
+and the memory sink to a parquet/Iceberg sink — the transform stays.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table (file source needs a directory,
+    so the single parquet file is symlinked into a scratch dir)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    d = tempfile.mkdtemp(prefix="evstream_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
+    s = spark.readStream.schema(schema).parquet(d)
+    # watermarks/event-time ops require TIMESTAMP; the parquet column is
+    # NTZ (session tz is pinned UTC by callers, so the instant is stable)
+    return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Start → drain → stop a streaming query; return the sink table."""
+    name = "snk_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling-window counts + integer-cent sums per type,
+    with a watermark bounding state (late rows beyond 1h dropped)."""
+    s = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(
+        F.window(F.col("ts"), "10 minutes").alias("win"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    # complete mode: over a bounded replay, append would hold back the
+    # final windows still inside the watermark horizon
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.unix_micros(F.col("win.start").cast("timestamp")).alias("win_start_us"),
+        "event_type", "n", "cents",
+    )
+
+
+def session_counts(spark: SparkSession, sf_dir: str, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows (gap-merged) — the streaming analogue of
+    sessionization; emits (user_id, session_start, n_events)."""
+    s = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(
+        F.session_window(F.col("ts"), gap).alias("sw"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("sw.start").cast("timestamp")).alias("session_start_us"),
+        "n_events",
+    )
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id (the streaming analogue of
+    the URL-seen filter, SURVEY.md A7) followed by a per-type count."""
+    s = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    dedup = s.dropDuplicatesWithinWatermark(["event_id"])
+    agg = dedup.groupBy("event_type").agg(F.count("*").alias("n"))
+    return run_to_memory(agg, "complete")
