@@ -1,0 +1,278 @@
+"""Benchmark: crawl throughput + headline query suite.
+
+Default mode (what the driver runs):
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+prints ONE JSON line:
+    {"metric": "frontier_urls_fetched_deduped_per_sec", "value": ...,
+     "unit": "urls/sec", "queries": {name: sec, ...}, "sf": 0.1, ...}
+
+Scaling-evidence mode (BASELINE.md two-cluster-size protocol):
+    python bench.py --scaling
+runs the SAME crawl on the SAME input at local[8] (N) and local[32]
+(4N), asserts bit-identical traces, and writes BENCH/BASELINE.md with
+both throughputs and efficiency = (T_32/T_8)/4 (target ≥ 0.8).
+
+The synthetic onion graph is generated deterministically from the sf
+tier (no external data; north rule) and cached under .cache/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE_QUERIES = [
+    "q01_scan_filter_project",
+    "q02_tpch_q1",
+    "q04_shuffle_join_agg",
+    "q05_multi_join",
+    "q12_window_rank",
+    "q24_json_funcs",
+    "q31_dedup_minhash_lsh",
+    "q34_ann_cosine_topk",
+]
+
+PAGESTORE_BUCKETS = 16
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
+
+
+def graph_cfg(sf: float):
+    from torscrapper_spark.fixtures import GraphConfig
+
+    n_domains = _env_int("TS_BENCH_DOMAINS", max(50, min(4000, int(2000 * sf / 0.1))))
+    # seed list scales with the graph so waves reach politeness-bounded
+    # width quickly (throughput is measured on saturated waves, not the
+    # ramp-up from a handful of seeds)
+    return GraphConfig(
+        seed=42, n_domains=n_domains,
+        pages_per_domain=_env_int("TS_BENCH_PPD", 100),
+        links_per_page=6, n_hot=max(3, n_domains // 100), hot_frac=0.3,
+        n_seeds=n_domains,
+        img_sizes=(_env_int("TS_BENCH_IMG", 16),),
+    )
+
+
+def prepare_graph(spark, sf: float) -> str:
+    """Generate (once) + bucket-partition the bench graph; returns dir."""
+    from torscrapper_spark import fixtures
+
+    import hashlib
+
+    tag = hashlib.md5(repr(graph_cfg(sf)).encode()).hexdigest()[:8]
+    cache = os.path.join(REPO, ".cache", f"bench_graph_sf{sf}_{tag}")
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        tmp = cache + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        cfg = graph_cfg(sf)
+        tables = fixtures.generate_all(cfg)
+        fixtures.write_parquet(tables, tmp)
+        # pagestore bucket-partitioned by pmod(xxhash64(url), NB): the
+        # per-wave fetch join carries the bucket key so dynamic
+        # partition pruning skips untouched buckets (SURVEY.md §4.2)
+        from pyspark.sql import functions as F
+
+        ps = spark.read.parquet(f"{tmp}/pagestore.parquet")
+        (
+            ps.withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(PAGESTORE_BUCKETS)).cast("int"))
+            .drop("url_hash")
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{tmp}/pagestore_bucketed")
+        )
+        os.remove(f"{tmp}/pagestore.parquet")
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        shutil.rmtree(cache, ignore_errors=True)
+        os.replace(tmp, cache)
+    return cache
+
+
+def run_crawl_bench(spark, graph_dir: str, max_waves: int = 4) -> dict:
+    from torscrapper_spark.plans import crawl as C
+    from torscrapper_spark.sources.tableio import SnapshotStore
+
+    ps = C.load_pagestore(
+        spark, f"{graph_dir}/pagestore_bucketed", buckets=PAGESTORE_BUCKETS
+    )
+    seeds = spark.read.parquet(f"{graph_dir}/seeds.parquet")
+    robots = spark.read.parquet(f"{graph_dir}/robots.parquet")
+    pol = spark.read.parquet(f"{graph_dir}/politeness.parquet")
+    snap_dir = tempfile.mkdtemp(prefix="benchsnap_")
+    store = SnapshotStore(snap_dir)
+    cfg = C.CrawlConfig(
+        max_waves=_env_int("TS_BENCH_WAVES", max_waves),
+        default_budget=_env_int("TS_BENCH_BUDGET", 8),
+        use_bloom=True,
+        bloom_shards=16, bloom_bits=1 << 21, bloom_k=5,
+        salt_buckets=0, pagestore_buckets=PAGESTORE_BUCKETS,
+    )
+    t0 = time.time()
+    summary = C.run_crawl(spark, store, ps, seeds, robots, pol, cfg)
+    wall = time.time() - t0
+    fetched = summary["fetched_total"]
+    deduped = summary["seen_total"]
+    per_wave = [
+        store.manifest(w) for w in range(1, store.last_wave() + 1)
+    ]
+    return {
+        "wall_sec": round(wall, 2),
+        "fetched_total": fetched,
+        "seen_total": deduped,
+        "waves": summary["waves_run"],
+        "urls_per_sec": round((fetched + deduped) / wall, 1),
+        "fetched_per_sec": round(fetched / wall, 1),
+        "per_wave": per_wave,
+        "snap_dir": snap_dir,
+    }
+
+
+def run_headline_queries(spark, sf_dir: str) -> dict:
+    from torscrapper_spark.queries import registry
+
+    reg = registry()
+    out = {}
+    for name in HEADLINE_QUERIES:
+        fn, _sql = reg[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def trace_fingerprint(spark, snap_dir: str) -> tuple[int, int]:
+    """(row_count, order-sensitive hash) of the crawl trace."""
+    from pyspark.sql import functions as F
+
+    from torscrapper_spark.sources.tableio import SnapshotStore
+
+    store = SnapshotStore(snap_dir)
+    tr = store.read_outputs(spark, "trace")
+    h = (
+        tr.select(
+            F.xxhash64(
+                F.concat_ws("|", "wave", "seq", "url", "depth", "status")
+            ).alias("h")
+        )
+        .agg(F.expr("bit_xor(h)").alias("s"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    return int(h["n"]), int(h["s"])
+
+
+def fresh_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    from torscrapper_spark.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    return get_spark(f"local[{cpus}]", shuffle_partitions=max(16, cpus * 2))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    scaling = "--scaling" in sys.argv
+
+    spark = fresh_spark(cpus)
+    graph_dir = prepare_graph(spark, sf)
+
+    if scaling:
+        results = {}
+        for n in (8, 32):
+            spark = fresh_spark(n)
+            r = run_crawl_bench(spark, graph_dir)
+            r["trace_fp"] = trace_fingerprint(spark, r["snap_dir"])
+            results[n] = r
+        eff = (results[32]["urls_per_sec"] / results[8]["urls_per_sec"]) / 4
+        identical = results[8]["trace_fp"] == results[32]["trace_fp"]
+        write_baseline_md(sf, results, eff, identical)
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "sf": sf,
+            "urls_per_sec_local8": results[8]["urls_per_sec"],
+            "urls_per_sec_local32": results[32]["urls_per_sec"],
+            "traces_identical": identical,
+        }))
+        return
+
+    crawl = run_crawl_bench(spark, graph_dir)
+    queries = run_headline_queries(spark, sf_dir)
+    print(json.dumps({
+        "metric": "frontier_urls_fetched_deduped_per_sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "crawl": {
+            k: crawl[k]
+            for k in ("wall_sec", "fetched_total", "seen_total", "waves",
+                       "fetched_per_sec")
+        },
+        "query_total_sec": round(sum(queries.values()), 3),
+        "cpus": cpus,
+    }))
+
+
+def write_baseline_md(sf, results, eff, identical):
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md — two-cluster-size scaling evidence",
+        "",
+        f"Input: deterministic synthetic onion graph at sf={sf} tier "
+        f"(generated once, read by both runs; `bench.py --scaling`).",
+        "Protocol per BASELINE.md: same job, same input, N=local[8] vs "
+        "4N=local[32]; AQE on in both.",
+        "",
+        "| master | wall sec | fetched | seen | urls/sec |",
+        "|---|---|---|---|---|",
+    ]
+    for n in (8, 32):
+        r = results[n]
+        lines.append(
+            f"| local[{n}] | {r['wall_sec']} | {r['fetched_total']} | "
+            f"{r['seen_total']} | {r['urls_per_sec']} |"
+        )
+    lines += [
+        "",
+        f"**Scaling efficiency (T_32/T_8)/4 = {eff:.3f}** (target ≥ 0.8)",
+        "",
+        f"Traces bit-identical across parallelism levels: **{identical}**",
+        "",
+        "Per-wave commits (local[32]):",
+        "```json",
+        json.dumps(results[32]["per_wave"], indent=1),
+        "```",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

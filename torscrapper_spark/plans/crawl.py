@@ -25,6 +25,8 @@ Wave w dataflow (all lazy until the snapshot writes):
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -132,6 +134,13 @@ def run_wave(
     wave: int,
 ) -> dict:
     """Execute wave ``wave`` (state w → state w+1 + outputs). Returns counts."""
+    profile = os.environ.get("TS_CRAWL_PROFILE") == "1"
+    _marks: list[tuple[str, float]] = [("start", time.time())]
+
+    def mark(label: str) -> None:
+        if profile:
+            _marks.append((label, time.time()))
+
     frontier = store.read(spark, "frontier", wave)
     seen = store.read_upto(spark, "seen", wave)
     bloom = store.read(spark, "bloom", wave) if cfg.use_bloom else None
@@ -162,6 +171,7 @@ def run_wave(
     )
     store.write(trace_out, "trace", wave)
     getattr(trace, "_seq_cache").unpersist()
+    mark("trace_write")
 
     # pages snapshot (payload + validation verdicts; html not persisted)
     store.write(
@@ -174,6 +184,7 @@ def run_wave(
         "pages",
         wave,
     )
+    mark("pages_write")
 
     # per-partition lineage + metrics (A18)
     metrics = (
@@ -190,6 +201,7 @@ def run_wave(
         .withColumn("wave", F.lit(wave).cast("int"))
     )
     store.write(metrics, "metrics", wave)
+    mark("metrics_write")
 
     # link extraction → candidates (deduped, min-depth) → truly new URLs
     candidates = extract_candidates(
@@ -203,6 +215,7 @@ def run_wave(
         "url_hash", F.lit(wave + 1).cast("int").alias("wave_added")
     )
     store.write(seen_delta, "seen", wave + 1)
+    mark("seen_write")
 
     # frontier_{w+1}: remaining ∪ robots-allowed new links, salted
     # repartition on (domain, salt) so hot domains spread over tasks (A17)
@@ -221,17 +234,21 @@ def run_wave(
         .drop("_salt")
     )
     store.write(frontier_next, "frontier", wave + 1)
+    mark("frontier_write")
 
     if cfg.use_bloom:
         bloom_next = update_bloom(
             bloom, store.read(spark, "seen", wave + 1), cfg.bloom_shards
         )
         store.write(bloom_next, "bloom", wave + 1)
+    mark("bloom_write")
 
     # counts from the written snapshot (cheap scans; also the commit record)
     n_fetched = validated.count()
+    mark("counts_validated")
     n_new = new.count()
     n_frontier = store.read(spark, "frontier", wave + 1).count()
+    mark("counts_rest")
     n_seen_prev = store.manifest(wave)["seen_total"]
     selected.unpersist()
     validated.unpersist()
@@ -243,6 +260,13 @@ def run_wave(
         "new_urls": n_new,
     }
     store.commit(wave + 1, info)
+    if profile:
+        prev = _marks[0][1]
+        spans = []
+        for label, tt in _marks[1:]:
+            spans.append(f"{label}={tt - prev:.2f}s")
+            prev = tt
+        print(f"[wave {wave}] " + " ".join(spans), flush=True)
     return info
 
 

@@ -32,6 +32,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # engine rows are compute-heavy (image decode, URL kernels in
+        # pandas UDFs), so the default 64 MB advisory size would coalesce
+        # a whole wave into 1-2 partitions and serialize the Python
+        # stages; 2 MB keeps UDF stages as wide as the cluster
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
