@@ -1276,3 +1276,66 @@ def crawl_trace_from_documents(spark, sf, max_waves=2):
 @q("q43_crawl_wave_trace", None)
 def q43(spark, sf):
     return crawl_trace_from_documents(spark, sf, max_waves=2)
+
+
+# ---------------------------------------------------------------------------
+# Remaining §2.B coverage: pivot, except/union, part-table stats
+# ---------------------------------------------------------------------------
+
+_SIZE_BUCKETS = ["XS", "S", "M", "L"]
+
+
+@q("q44_pivot", f"""
+SELECT p_type,
+       SUM(CASE WHEN p_size <= 12 THEN CAST(p_retailprice AS {DEC}) END) AS XS,
+       SUM(CASE WHEN p_size > 12 AND p_size <= 25 THEN CAST(p_retailprice AS {DEC}) END) AS S,
+       SUM(CASE WHEN p_size > 25 AND p_size <= 37 THEN CAST(p_retailprice AS {DEC}) END) AS M,
+       SUM(CASE WHEN p_size > 37 THEN CAST(p_retailprice AS {DEC}) END) AS L
+FROM part GROUP BY p_type
+""")
+def q44(spark, sf):
+    p = t(spark, sf, "part")
+    bucket = (
+        F.when(F.col("p_size") <= 12, "XS")
+        .when(F.col("p_size") <= 25, "S")
+        .when(F.col("p_size") <= 37, "M")
+        .otherwise("L")
+    )
+    return (
+        p.withColumn("bucket", bucket)
+        .groupBy("p_type")
+        .pivot("bucket", _SIZE_BUCKETS)
+        .agg(F.sum(F.col("p_retailprice").cast(DEC)))
+    )
+
+
+@q("q45_except", """
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def q45(spark, sf):
+    c = t(spark, sf, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.exceptAll(o.distinct()).distinct()
+
+
+@q("q46_union_by_name", """
+SELECT entity_id, kind FROM (
+    SELECT c_custkey AS entity_id, 'customer' AS kind FROM customer WHERE c_nationkey = 7
+    UNION ALL
+    SELECT s_suppkey AS entity_id, 'supplier' AS kind FROM supplier WHERE s_nationkey = 7
+)
+""")
+def q46(spark, sf):
+    c = t(spark, sf, "customer").filter(F.col("c_nationkey") == 7).select(
+        F.col("c_custkey").alias("entity_id"), F.lit("customer").alias("kind")
+    )
+    s = t(spark, sf, "supplier").filter(F.col("s_nationkey") == 7).select(
+        F.col("s_suppkey").alias("entity_id"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
