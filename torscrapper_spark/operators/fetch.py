@@ -50,11 +50,40 @@ VALIDATED_SCHEMA = (
 
 
 def fetch_join(selected: DataFrame, pagestore: DataFrame) -> DataFrame:
-    """One fetch wave = selected ⋈ pagestore; misses become status 404."""
+    """One fetch wave = selected ⋈ pagestore; misses become status 404.
+
+    Join shape matters enormously here: a naive ``selected LEFT JOIN
+    pagestore`` cannot broadcast its small (politeness-bounded) side, so
+    Spark shuffles the entire image store every wave. Instead:
+
+      hits   = pagestore ⋈ BROADCAST(selected)   (inner — store is only
+               SCANNED, never shuffled; with a bucketed store the bucket
+               key also prunes partitions)
+      misses = selected ∖ hits                   (broadcast anti-join)
+
+    At 10^10 scale with waves too large to broadcast, the equivalent is
+    a bucket-wise co-partitioned join against the bucketed store; in
+    production the whole operator is replaced by a mapInPandas network
+    fetcher with this same output schema.
+    """
     join_keys = ["url_hash", "url"]
     if "bucket" in pagestore.columns and "bucket" in selected.columns:
         join_keys = ["bucket", *join_keys]
-    fetched = selected.join(pagestore, join_keys, "left")
+    hits = pagestore.join(F.broadcast(selected), join_keys, "inner")
+    # 404s: anti-join against the store's KEY columns (column-pruned
+    # scan — never re-reads the payload; deriving misses from `hits`
+    # would scan the full store a second time)
+    misses = selected.join(
+        F.broadcast(pagestore.select(*join_keys)), join_keys, "left_anti"
+    )
+    payload_cols = {
+        "image_id": "string", "bytes": "binary", "w": "int", "h": "int",
+        "fmt": "string", "caption": "string", "ref_caption": "string",
+        "phash": "long", "ref_bytes": "binary", "html": "string",
+    }
+    for c, typ in payload_cols.items():
+        misses = misses.withColumn(c, F.lit(None).cast(typ))
+    fetched = hits.unionByName(misses.select(*hits.columns))
     # 404 rows leave the numeric payload columns NULL; a nullable int64
     # becomes float64 on the Arrow→pandas hop and silently loses
     # precision above 2^53 (observed as corrupted phash values), so pin

@@ -43,6 +43,18 @@ from ..sources.tableio import SnapshotStore
 
 FRONTIER_COLS = ["url", "url_hash", "domain", "depth", "discovered_wave"]
 
+
+def _run_concurrently(jobs) -> None:
+    """Submit independent Spark jobs from driver threads (supported by
+    the Spark scheduler) so their fixed costs overlap. Exceptions from
+    any job propagate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futures = [ex.submit(j) for j in jobs]
+        for f in futures:
+            f.result()
+
 PAGESTORE_COLS = [
     "url", "url_hash", "image_id", "bytes", "w", "h", "fmt",
     "caption", "ref_caption", "phash", "ref_bytes", "html",
@@ -154,54 +166,62 @@ def run_wave(
             F.pmod(F.col("url_hash"), F.lit(cfg.pagestore_buckets)).cast("int"),
         )
     selected = selected.persist()
+    selected.count()
+    mark("budget_select")
 
     validated = decode_validate(fetch_join(selected, pagestore)).persist()
+    n_fetched = validated.count()
+    mark("fetch_validate")
 
-    # trace (A20): global priority order within the wave, seq 1-based
-    trace = with_global_seq(
-        validated.select("url", "url_hash", "depth", "discovered_wave", "status"),
-        PRIORITY_COLS,
-    )
-    trace_out = trace.select(
-        F.lit(wave).cast("int").alias("wave"),
-        F.col("seq").cast("long").alias("seq"),
-        "url", "url_hash",
-        F.col("depth").cast("int").alias("depth"),
-        F.col("status").cast("int").alias("status"),
-    )
-    store.write(trace_out, "trace", wave)
-    getattr(trace, "_seq_cache").unpersist()
-    mark("trace_write")
+    # ---- phase A: independent jobs over the cached `validated`, run
+    # CONCURRENTLY from driver threads (Spark schedules them together;
+    # each job's fixed cost overlaps instead of stacking serially) ----
 
-    # pages snapshot (payload + validation verdicts; html not persisted)
-    store.write(
-        validated.select(
-            F.lit(wave).cast("int").alias("wave"),
-            "url", "url_hash", "image_id", "caption", "fmt", "w", "h",
-            "status", "n_bytes", "decode_ok", "psnr", "psnr_ok",
-            "phash_match", "caption_ok", "valid",
-        ),
-        "pages",
-        wave,
-    )
-    mark("pages_write")
-
-    # per-partition lineage + metrics (A18)
-    metrics = (
-        validated.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count("*").alias("fetched"),
-            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
-            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("missing"),
-            F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("decoded"),
-            F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("valid_rows"),
-            F.sum("n_bytes").alias("bytes"),
-            F.min(F.when(F.col("status") == 200, F.col("psnr"))).alias("psnr_min"),
+    def job_trace():
+        # trace (A20): global priority order within the wave, seq 1-based
+        trace = with_global_seq(
+            validated.select("url", "url_hash", "depth", "discovered_wave", "status"),
+            PRIORITY_COLS,
         )
-        .withColumn("wave", F.lit(wave).cast("int"))
-    )
-    store.write(metrics, "metrics", wave)
-    mark("metrics_write")
+        trace_out = trace.select(
+            F.lit(wave).cast("int").alias("wave"),
+            F.col("seq").cast("long").alias("seq"),
+            "url", "url_hash",
+            F.col("depth").cast("int").alias("depth"),
+            F.col("status").cast("int").alias("status"),
+        )
+        store.write(trace_out, "trace", wave)
+        getattr(trace, "_seq_cache").unpersist()
+
+    def job_pages():
+        # pages snapshot (payload verdicts; html/bytes not persisted)
+        store.write(
+            validated.select(
+                F.lit(wave).cast("int").alias("wave"),
+                "url", "url_hash", "image_id", "caption", "fmt", "w", "h",
+                "status", "n_bytes", "decode_ok", "psnr", "psnr_ok",
+                "phash_match", "caption_ok", "valid",
+            ),
+            "pages",
+            wave,
+        )
+
+    def job_metrics():
+        # per-partition lineage + metrics (A18)
+        metrics = (
+            validated.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("fetched"),
+                F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+                F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("missing"),
+                F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("decoded"),
+                F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("valid_rows"),
+                F.sum("n_bytes").alias("bytes"),
+                F.min(F.when(F.col("status") == 200, F.col("psnr"))).alias("psnr_min"),
+            )
+            .withColumn("wave", F.lit(wave).cast("int"))
+        )
+        store.write(metrics, "metrics", wave)
 
     # link extraction → candidates (deduped, min-depth) → truly new URLs
     candidates = extract_candidates(
@@ -211,42 +231,54 @@ def run_wave(
         candidates, seen, bloom, cfg.bloom_shards, cfg.use_bloom
     ).persist()
 
-    seen_delta = new.select(
-        "url_hash", F.lit(wave + 1).cast("int").alias("wave_added")
-    )
-    store.write(seen_delta, "seen", wave + 1)
-    mark("seen_write")
+    def job_links():
+        new.count()
 
-    # frontier_{w+1}: remaining ∪ robots-allowed new links, salted
-    # repartition on (domain, salt) so hot domains spread over tasks (A17)
-    remaining = frontier.join(
-        selected.select("url_hash"), "url_hash", "left_anti"
-    )
-    inserts = robots_gate(new, robots).select(*FRONTIER_COLS)
-    frontier_next = (
-        remaining.select(*FRONTIER_COLS)
-        .unionByName(inserts)
-        .withColumn(
-            "_salt", F.pmod(F.xxhash64("url"), F.lit(cfg.frontier_salt)).cast("int")
+    _run_concurrently([job_trace, job_pages, job_metrics, job_links])
+    n_new = new.count()  # cached — immediate
+    mark("phaseA_concurrent")
+
+    # ---- phase B: next-wave state, again concurrent ----
+
+    def job_seen():
+        store.write(
+            new.select(
+                "url_hash", F.lit(wave + 1).cast("int").alias("wave_added")
+            ),
+            "seen",
+            wave + 1,
         )
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                     "domain", "_salt")
-        .drop("_salt")
-    )
-    store.write(frontier_next, "frontier", wave + 1)
-    mark("frontier_write")
 
+    def job_frontier():
+        # frontier_{w+1}: remaining ∪ robots-allowed new links, salted
+        # repartition on (domain, salt) → hot domains spread over tasks (A17)
+        remaining = frontier.join(
+            selected.select("url_hash"), "url_hash", "left_anti"
+        )
+        inserts = robots_gate(new, robots).select(*FRONTIER_COLS)
+        frontier_next = (
+            remaining.select(*FRONTIER_COLS)
+            .unionByName(inserts)
+            .withColumn(
+                "_salt",
+                F.pmod(F.xxhash64("url"), F.lit(cfg.frontier_salt)).cast("int"),
+            )
+            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                         "domain", "_salt")
+            .drop("_salt")
+        )
+        store.write(frontier_next, "frontier", wave + 1)
+
+    _run_concurrently([job_seen, job_frontier])
     if cfg.use_bloom:
+        # reads the seen delta written by job_seen, so strictly after it
         bloom_next = update_bloom(
             bloom, store.read(spark, "seen", wave + 1), cfg.bloom_shards
         )
         store.write(bloom_next, "bloom", wave + 1)
-    mark("bloom_write")
+    mark("phaseB_state")
 
-    # counts from the written snapshot (cheap scans; also the commit record)
-    n_fetched = validated.count()
-    mark("counts_validated")
-    n_new = new.count()
+    # frontier count from the written snapshot (cheap scan; commit record)
     n_frontier = store.read(spark, "frontier", wave + 1).count()
     mark("counts_rest")
     n_seen_prev = store.manifest(wave)["seen_total"]
