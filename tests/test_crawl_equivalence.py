@@ -83,8 +83,10 @@ def test_image_invariants_on_fetched_pages(spark, tiny_dir, tmp_store_dir):
     n = pages.count()
     assert n > 0
     assert pages.filter(~F.col("valid")).count() == 0
-    lossless = pages.filter(F.col("fmt") != "quant6")
+    from torscrapper_spark.functions.codecs import LOSSY_FMTS
+
+    lossless = pages.filter(~F.col("fmt").isin(*LOSSY_FMTS))
     assert lossless.filter(F.col("psnr") != 99.0).count() == 0  # 99.0 == inf marker
-    lossy = pages.filter(F.col("fmt") == "quant6")
+    lossy = pages.filter(F.col("fmt").isin(*LOSSY_FMTS))
     assert lossy.filter(F.col("psnr") < 40.0).count() == 0
     assert lossy.filter(F.col("psnr") > 60.0).count() == 0

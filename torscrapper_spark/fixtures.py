@@ -49,6 +49,8 @@ class GraphConfig:
     noise_frac: float = 0.40  # fraction of hrefs emitted as noisy variants
     img_sizes: tuple = (16, 32)
     query_every: int = 5      # every Nth page has a canonical query string
+    fmts: tuple = ALL_FMTS    # codec rotation; large bench graphs restrict
+                              # to compressed fmts to keep storage bounded
 
 
 def domain_name(i: int) -> str:
@@ -82,60 +84,91 @@ def _noisy(url: str, kind: int) -> str:
     return f"{url}#x"
 
 
-def generate_pagestore(cfg: GraphConfig) -> pd.DataFrame:
+def _pixels(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Natural-ish synthetic image: smooth luminance gradient + random
+    8×8 block texture + per-channel phase. Unlike uniform noise (which
+    is incompressible and unlike any real photo), this compresses under
+    zlib the way real images do, while still varying per image so PSNR,
+    phash, and dedup checks stay meaningful."""
+    yy = np.arange(h, dtype=np.int32)[:, None]
+    xx = np.arange(w, dtype=np.int32)[None, :]
+    grad = (yy * 255 // max(h - 1, 1) + xx * 255 // max(w - 1, 1)) // 2
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    block = (
+        rng.integers(0, 96, (bh, bw, 3), dtype=np.int32)
+        .repeat(8, axis=0)
+        .repeat(8, axis=1)[:h, :w]
+    )
+    phase = rng.integers(0, 64, (1, 1, 3), dtype=np.int32)
+    return ((grad[:, :, None] + block + phase) % 256).astype(np.uint8)
+
+
+def generate_pagestore_domain(cfg: GraphConfig, i: int) -> pd.DataFrame:
+    """Pagestore rows for ONE domain — independent of every other domain
+    (hierarchical seeding ``default_rng([seed, i])``), so generation
+    distributes embarrassingly: ``bench.py`` fans domains out over a
+    Spark ``mapInPandas`` job for large graphs while small/test graphs
+    use the driver-side :func:`generate_pagestore`; both produce
+    byte-identical rows."""
     rows = []
-    fmts = ALL_FMTS
-    for i in range(cfg.n_domains):
-        rng = np.random.default_rng([cfg.seed, i])
-        for j in range(cfg.pages_per_domain):
-            url = page_url(i, j, cfg.query_every)
-            # --- out-links (Zipf-ish skew toward hot domains) ---
-            links = []
-            for _ in range(cfg.links_per_page):
-                if rng.random() < cfg.hot_frac:
-                    ti = int(rng.integers(0, cfg.n_hot))
-                else:
-                    ti = int(rng.integers(0, cfg.n_domains))
-                if rng.random() < cfg.dangling_frac:
-                    tj = int(cfg.pages_per_domain + rng.integers(0, cfg.pages_per_domain))
-                    target = f"http://{domain_name(ti)}/p/{tj}"
-                else:
-                    tj = int(rng.integers(0, cfg.pages_per_domain))
-                    target = page_url(ti, tj, cfg.query_every)
-                if rng.random() < cfg.noise_frac:
-                    target = _noisy(target, int(rng.integers(0, 4)))
-                links.append(target)
-            html = "<html><body>" + "".join(
-                f'<a href="{u}">t</a>' for u in links
-            ) + "</body></html>"
-            # --- image payload (input_hint shape, BASELINE.json:15) ---
-            side = int(cfg.img_sizes[(i + j) % len(cfg.img_sizes)])
-            w = h = side
-            fmt = fmts[(i * 7 + j) % len(fmts)]
-            pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            image_id = f"{domain_name(i)}/p{j}"
-            rows.append({
-                "url": url,
-                "image_id": image_id,
-                "bytes": encode(pixels, fmt),
-                "w": w,
-                "h": h,
-                "fmt": fmt,
-                "caption": f"img {image_id} tok {(i * 131 + j * 17) % 997}",
-                # reference caption for the exact-equality invariant
-                # (BASELINE.json:15); equal by construction, negative
-                # tests corrupt one side
-                "ref_caption": f"img {image_id} tok {(i * 131 + j * 17) % 997}",
-                "phash": avg_phash(pixels),
-                "ref_bytes": encode(pixels, "zlib-rgb"),
-                "html": html,
-                "out_links": links,
-            })
+    fmts = cfg.fmts
+    rng = np.random.default_rng([cfg.seed, i])
+    for j in range(cfg.pages_per_domain):
+        url = page_url(i, j, cfg.query_every)
+        # --- out-links (Zipf-ish skew toward hot domains) ---
+        links = []
+        for _ in range(cfg.links_per_page):
+            if rng.random() < cfg.hot_frac:
+                ti = int(rng.integers(0, cfg.n_hot))
+            else:
+                ti = int(rng.integers(0, cfg.n_domains))
+            if rng.random() < cfg.dangling_frac:
+                tj = int(cfg.pages_per_domain + rng.integers(0, cfg.pages_per_domain))
+                target = f"http://{domain_name(ti)}/p/{tj}"
+            else:
+                tj = int(rng.integers(0, cfg.pages_per_domain))
+                target = page_url(ti, tj, cfg.query_every)
+            if rng.random() < cfg.noise_frac:
+                target = _noisy(target, int(rng.integers(0, 4)))
+            links.append(target)
+        html = "<html><body>" + "".join(
+            f'<a href="{u}">t</a>' for u in links
+        ) + "</body></html>"
+        # --- image payload (input_hint shape, BASELINE.json:15) ---
+        side = int(cfg.img_sizes[(i + j) % len(cfg.img_sizes)])
+        w = h = side
+        fmt = fmts[(i * 7 + j) % len(fmts)]
+        pixels = _pixels(rng, h, w)
+        image_id = f"{domain_name(i)}/p{j}"
+        rows.append({
+            "url": url,
+            "image_id": image_id,
+            "bytes": encode(pixels, fmt),
+            "w": w,
+            "h": h,
+            "fmt": fmt,
+            "caption": f"img {image_id} tok {(i * 131 + j * 17) % 997}",
+            # reference caption for the exact-equality invariant
+            # (BASELINE.json:15); equal by construction, negative
+            # tests corrupt one side
+            "ref_caption": f"img {image_id} tok {(i * 131 + j * 17) % 997}",
+            "phash": avg_phash(pixels),
+            "ref_bytes": encode(pixels, "zlib-rgb"),
+            "html": html,
+            "out_links": links,
+        })
     df = pd.DataFrame(rows)
     df["w"] = df["w"].astype("int32")
     df["h"] = df["h"].astype("int32")
     df["phash"] = df["phash"].astype("int64")
     return df
+
+
+def generate_pagestore(cfg: GraphConfig) -> pd.DataFrame:
+    return pd.concat(
+        [generate_pagestore_domain(cfg, i) for i in range(cfg.n_domains)],
+        ignore_index=True,
+    )
 
 
 def generate_seeds(cfg: GraphConfig) -> pd.DataFrame:

@@ -13,6 +13,11 @@ Formats:
   quant6   6-bit/channel quantization — LOSSY; reconstruction error ~2 LSB,
            so PSNR lands ≈ 44 dB: comfortably over the 40 dB gate
            (BASELINE.json:15) but failing if decode is wrong.
+  zlib-quant6
+           zlib-compressed quant6 — LOSSY with a real compressed wire
+           format (quantize then deflate). Same PSNR envelope as quant6;
+           used by the large bench graphs where raw-byte lossy payloads
+           would dominate storage.
 
 All functions operate on ``np.ndarray[h, w, 3] dtype=uint8``.
 """
@@ -24,7 +29,7 @@ import zlib
 import numpy as np
 
 LOSSLESS_FMTS = ("rgb8", "ppm", "zlib-rgb")
-LOSSY_FMTS = ("quant6",)
+LOSSY_FMTS = ("quant6", "zlib-quant6")
 ALL_FMTS = LOSSLESS_FMTS + LOSSY_FMTS
 
 
@@ -42,6 +47,8 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return zlib.compress(raw, 6)
     if fmt == "quant6":
         return (pixels >> 2).tobytes()
+    if fmt == "zlib-quant6":
+        return zlib.compress((pixels >> 2).tobytes(), 6)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -60,6 +67,9 @@ def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "quant6":
         q = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
         # rescale 6-bit value to full 8-bit range: v*255/63 ≈ (v<<2)|(v>>4)
+        return ((q << 2) | (q >> 4)).astype(np.uint8)
+    if fmt == "zlib-quant6":
+        q = np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
         return ((q << 2) | (q >> 4)).astype(np.uint8)
     raise ValueError(f"unknown fmt {fmt!r}")
 

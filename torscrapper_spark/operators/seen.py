@@ -136,10 +136,23 @@ def new_candidates(
     num_shards: int,
     use_bloom: bool,
 ) -> DataFrame:
-    """Exact set difference, bloom-accelerated when enabled."""
+    """Exact set difference, bloom-accelerated when enabled.
+
+    Single-pass formulation: probe once, then ONE left-anti join whose
+    condition is ``url_hash match AND maybe_seen`` — a bloom-negative row
+    can never satisfy the condition, so it survives the anti-join
+    untouched, while bloom-positive rows are checked exactly. Spark
+    executes this as an equi anti-join with a residual predicate, so the
+    probe pipeline (extraction → canonicalize → dedup → cogroup UDF)
+    runs exactly once. The earlier union-of-two-branches shape ran the
+    whole candidate pipeline twice (two FlatMapCoGroupsInPandas, no
+    exchange reuse). Tradeoff: bloom-negative rows now ride through the
+    anti-join shuffle; candidate volume is politeness-bounded per wave,
+    so that cost is negligible next to halving the Python-side CPU.
+    """
     if not use_bloom or bloom is None:
         return exact_new(candidates, seen)
     probed = probe_bloom(candidates, bloom, num_shards)
-    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    return definitely_new.unionByName(exact_new(maybe, seen))
+    s = seen.select(F.col("url_hash").alias("_seen_hash"))
+    cond = (probed["url_hash"] == s["_seen_hash"]) & probed["maybe_seen"]
+    return probed.join(s, cond, "left_anti").drop("maybe_seen")

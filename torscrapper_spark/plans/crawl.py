@@ -166,7 +166,6 @@ def run_wave(
             F.pmod(F.col("url_hash"), F.lit(cfg.pagestore_buckets)).cast("int"),
         )
     selected = selected.persist()
-    selected.count()
     mark("budget_select")
 
     validated = decode_validate(fetch_join(selected, pagestore)).persist()
@@ -249,13 +248,18 @@ def run_wave(
             wave + 1,
         )
 
+    frontier_counts: dict[str, int] = {}
+
     def job_frontier():
         # frontier_{w+1}: remaining ∪ robots-allowed new links, salted
         # repartition on (domain, salt) → hot domains spread over tasks (A17)
+        from pyspark.sql import Observation
+
         remaining = frontier.join(
             selected.select("url_hash"), "url_hash", "left_anti"
         )
         inserts = robots_gate(new, robots).select(*FRONTIER_COLS)
+        obs = Observation()
         frontier_next = (
             remaining.select(*FRONTIER_COLS)
             .unionByName(inserts)
@@ -266,20 +270,26 @@ def run_wave(
             .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
                          "domain", "_salt")
             .drop("_salt")
+            # observe() rides the write job — the commit record's frontier
+            # count costs no extra scan of the written snapshot
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
         store.write(frontier_next, "frontier", wave + 1)
+        frontier_counts["n"] = int(obs.get["n"])
 
-    _run_concurrently([job_seen, job_frontier])
-    if cfg.use_bloom:
-        # reads the seen delta written by job_seen, so strictly after it
-        bloom_next = update_bloom(
-            bloom, store.read(spark, "seen", wave + 1), cfg.bloom_shards
-        )
+    def job_bloom():
+        # delta = the cached `new` DF — identical rows to the seen delta
+        # job_seen persists, without waiting on (or re-reading) that write
+        bloom_next = update_bloom(bloom, new, cfg.bloom_shards)
         store.write(bloom_next, "bloom", wave + 1)
+
+    phase_b = [job_seen, job_frontier]
+    if cfg.use_bloom:
+        phase_b.append(job_bloom)
+    _run_concurrently(phase_b)
     mark("phaseB_state")
 
-    # frontier count from the written snapshot (cheap scan; commit record)
-    n_frontier = store.read(spark, "frontier", wave + 1).count()
+    n_frontier = frontier_counts["n"]
     mark("counts_rest")
     n_seen_prev = store.manifest(wave)["seen_total"]
     selected.unpersist()
@@ -320,10 +330,15 @@ def run_crawl(
         init_state(spark, store, seeds, robots, cfg)
     wave = store.last_wave()
     total_fetched = 0
+    wave_secs: list[float] = []
+    wave_fetched: list[int] = []
     while wave < cfg.max_waves:
         if store.manifest(wave)["frontier_count"] == 0:
             break
+        t0 = time.time()
         info = run_wave(spark, store, pagestore, robots, politeness, cfg, wave)
+        wave_secs.append(round(time.time() - t0, 2))
+        wave_fetched.append(info["fetched"])
         total_fetched += info["fetched"]
         wave += 1
     final = store.manifest(store.last_wave())
@@ -332,4 +347,6 @@ def run_crawl(
         "fetched_total": total_fetched,
         "seen_total": final["seen_total"],
         "frontier_left": final["frontier_count"],
+        "wave_secs": wave_secs,
+        "wave_fetched": wave_fetched,
     }
