@@ -13,7 +13,7 @@ runs the SAME crawl on the SAME input at local[8] (N) and local[32]
 both throughputs and efficiency = (T_32/T_8)/4 (target ≥ 0.8).
 
 The scaling graph is deliberately much heavier than the default-mode
-graph (1M pages, 256px images): the criterion measures how the engine
+graph (500k pages, 192px images): the criterion measures how the engine
 scales when compute dominates — which is the regime a 10^10-URL crawl
 actually runs in — not how Spark's fixed per-job latency amortizes over
 a toy graph. Both runs get an untimed warmup crawl first (JIT,
@@ -95,22 +95,26 @@ def default_graph_cfg(sf: float):
 
 
 def scaling_graph_cfg():
-    """Scaling-mode graph: compute-dominant (1M pages, 256px images).
+    """Scaling-mode graph: compute-dominant (500k pages, 192px images).
 
-    Only compressed codecs — at 256px a raw-byte payload would be
-    ~190 KB/row (50 GB on disk for nothing); the gradient+block images
-    deflate like real photos do.
+    Sized to the sandbox: ~65 KB of compressed payload per row (bytes +
+    ref_bytes) ≈ 30 GB on disk, which the 125 GB box keeps page-cached
+    so neither timed run is disk-bound, while decode+PSNR+phash
+    validation costs ~3.5 ms/row — the compute-dominant regime a real
+    10^10-URL crawl runs in. Only compressed codecs — raw payloads at
+    192px would be ~110 KB/row of incompressible disk for nothing; the
+    gradient+block images deflate like real photos do.
     """
     from torscrapper_spark.fixtures import GraphConfig
 
     return GraphConfig(
         seed=42,
-        n_domains=_env_int("TS_SCALE_DOMAINS", 5000),
+        n_domains=_env_int("TS_SCALE_DOMAINS", 2500),
         pages_per_domain=_env_int("TS_SCALE_PPD", 200),
         links_per_page=6,
-        n_hot=50, hot_frac=0.3,
+        n_hot=25, hot_frac=0.3,
         n_seeds=_env_int("TS_SCALE_SEEDS", 50000),
-        img_sizes=(_env_int("TS_SCALE_IMG", 256),),
+        img_sizes=(_env_int("TS_SCALE_IMG", 192),),
         fmts=("zlib-rgb", "zlib-rgb", "zlib-rgb", "zlib-quant6"),
     )
 

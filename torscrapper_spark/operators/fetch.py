@@ -19,21 +19,14 @@ equality.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.codecs import (
-    LOSSY_FMTS,
-    PHASH_LOSSY_HAMMING,
-    avg_phash,
-    decode,
-    hamming64,
-    psnr,
-)
+from ..functions.codecs import LOSSY_FMTS, PHASH_LOSSY_HAMMING, decode
 
 FETCH_COLS = [
     "url", "url_hash", "domain", "depth", "discovered_wave",
@@ -100,48 +93,94 @@ def fetch_join(selected: DataFrame, pagestore: DataFrame) -> DataFrame:
     )
 
 
+def _validate_group(
+    pdf: pd.DataFrame, rows: np.ndarray, fmt: str, w: int, h: int, out: dict
+) -> None:
+    """Validate all batch rows sharing (fmt, w, h) with stacked-array math.
+
+    Codec decode is one C call (zlib) per image — the per-image unit is
+    inherent to the wire format, exactly like a JPEG decoder; everything
+    downstream (PSNR, perceptual hash, Hamming distance) runs once over
+    the stacked (n, h, w, 3) array, not per row.
+    """
+    byte_vals = pdf["bytes"].to_numpy()
+    ref_vals = pdf["ref_bytes"].to_numpy()
+    good, imgs = [], []
+    for i in rows:
+        try:
+            imgs.append(decode(bytes(byte_vals[i]), fmt, w, h))
+            good.append(i)
+        except Exception:
+            continue
+    if not good:
+        return
+    good = np.asarray(good)
+    a = np.stack(imgs)                                     # (n, h, w, 3) uint8
+    r = np.stack([decode(bytes(ref_vals[i]), "zlib-rgb", w, h) for i in good])
+    out["decode_ok"][good] = True
+
+    diff = a.astype(np.int32) - r.astype(np.int32)
+    mse = np.einsum("nhwc,nhwc->n", diff, diff, dtype=np.float64) / diff[0].size
+    lossy = fmt in LOSSY_FMTS
+    with np.errstate(divide="ignore"):
+        p = 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)  # inf where mse == 0
+    out["psnr"][good] = np.where(mse == 0.0, 99.0, p)
+    out["psnr_ok"][good] = (p >= 40.0) if lossy else (mse == 0.0)
+
+    # batched avg_phash: 8×8 block means vs per-image mean (codecs.avg_phash)
+    gray = a.astype(np.float64).mean(axis=3)
+    blocks = gray.reshape(len(good), 8, h // 8, 8, w // 8).mean(axis=(2, 4))
+    bits = blocks > blocks.mean(axis=(1, 2), keepdims=True)
+    packed = np.packbits(bits.reshape(len(good), 64), axis=1)
+    ph = packed.view(">u8")[:, 0].astype(np.uint64)
+    stored = pdf["phash"].to_numpy()[good].astype(np.int64).view(np.uint64)
+    xor_bytes = np.frombuffer((ph ^ stored).tobytes(), dtype=np.uint8)
+    dist = np.unpackbits(xor_bytes).reshape(len(good), 64).sum(axis=1)
+    out["phash_match"][good] = dist <= (PHASH_LOSSY_HAMMING if lossy else 0)
+
+
 def decode_validate(fetched: DataFrame) -> DataFrame:
-    """Arrow-batched decode + PSNR/phash/caption validation."""
+    """Arrow-batched decode + PSNR/phash/caption validation (no per-row
+    Python: rows are grouped by (fmt, w, h) and validated as stacked
+    numpy arrays; see :func:`_validate_group`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            n_bytes = [0] * n
-            decode_ok = [False] * n
-            psnr_v = [float("nan")] * n
-            psnr_ok = [False] * n
-            phash_match = [False] * n
-            caption_ok = [False] * n
-            for i in range(n):
-                if pdf["status"].iat[i] != 200:
-                    continue
-                data = pdf["bytes"].iat[i]
-                fmt = pdf["fmt"].iat[i]
-                w, h = int(pdf["w"].iat[i]), int(pdf["h"].iat[i])
-                n_bytes[i] = len(data) if data is not None else 0
-                try:
-                    px = decode(bytes(data), fmt, w, h)
-                    decode_ok[i] = True
-                except Exception:
-                    continue
-                ref = decode(bytes(pdf["ref_bytes"].iat[i]), "zlib-rgb", w, h)
-                p = psnr(px, ref)
-                psnr_v[i] = p if math.isfinite(p) else 99.0
-                psnr_ok[i] = (p >= 40.0) if fmt in LOSSY_FMTS else (p == float("inf"))
-                dist = hamming64(avg_phash(px), int(pdf["phash"].iat[i]))
-                phash_match[i] = dist <= (
-                    PHASH_LOSSY_HAMMING if fmt in LOSSY_FMTS else 0
-                )
-                caption_ok[i] = pdf["caption"].iat[i] == pdf["ref_caption"].iat[i]
+            status = pdf["status"].to_numpy()
+            ok = status == 200
+            out_cols = {
+                "decode_ok": np.zeros(n, dtype=bool),
+                "psnr": np.full(n, float("nan")),
+                "psnr_ok": np.zeros(n, dtype=bool),
+                "phash_match": np.zeros(n, dtype=bool),
+            }
+            n_bytes = np.zeros(n, dtype=np.int64)
+            if ok.any():
+                n_bytes[ok] = [len(b) for b in pdf["bytes"].to_numpy()[ok]]
+                keys = pd.DataFrame({
+                    "fmt": pdf["fmt"].to_numpy(), "w": pdf["w"].to_numpy(),
+                    "h": pdf["h"].to_numpy(), "_i": np.arange(n),
+                })[ok]
+                for (fmt, w, h), grp in keys.groupby(
+                    ["fmt", "w", "h"], sort=False
+                ):
+                    _validate_group(
+                        pdf, grp["_i"].to_numpy(), str(fmt), int(w), int(h),
+                        out_cols,
+                    )
+            caption_ok = (
+                ok & (pdf["caption"] == pdf["ref_caption"]).fillna(False).to_numpy()
+            )
             out = pdf[[
                 "url", "url_hash", "domain", "depth", "discovered_wave",
                 "status", "image_id", "caption", "fmt", "w", "h", "html",
             ]].copy()
-            out["n_bytes"] = pd.Series(n_bytes, index=pdf.index, dtype="int64")
-            out["decode_ok"] = decode_ok
-            out["psnr"] = psnr_v
-            out["psnr_ok"] = psnr_ok
-            out["phash_match"] = phash_match
+            out["n_bytes"] = n_bytes
+            out["decode_ok"] = out_cols["decode_ok"]
+            out["psnr"] = out_cols["psnr"]
+            out["psnr_ok"] = out_cols["psnr_ok"]
+            out["phash_match"] = out_cols["phash_match"]
             out["caption_ok"] = caption_ok
             out["valid"] = (
                 out["decode_ok"] & out["psnr_ok"]
