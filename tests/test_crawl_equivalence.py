@@ -90,3 +90,50 @@ def test_image_invariants_on_fetched_pages(spark, tiny_dir, tmp_store_dir):
     lossy = pages.filter(F.col("fmt").isin(*LOSSY_FMTS))
     assert lossy.filter(F.col("psnr") < 40.0).count() == 0
     assert lossy.filter(F.col("psnr") > 60.0).count() == 0
+
+
+def test_synthetic_fetcher_matches_store_join(
+    spark, tiny_tables, tiny_dir, tmp_store_dir
+):
+    """The production-shaped mapInPandas fetcher (SyntheticPagestore)
+    must produce the exact crawl the store-join fetch path produces:
+    same trace, same seen set. This pins the two A13 implementations
+    (sandbox join vs O(wave) fetcher) to identical semantics."""
+    import os
+
+    from torscrapper_spark import fixtures
+    from torscrapper_spark.operators.fetch import SyntheticPagestore
+
+    cfg = C.CrawlConfig(
+        max_waves=3, use_bloom=True, bloom_shards=4, bloom_bits=1 << 14
+    )
+    join_store = _run_engine(spark, tiny_dir, tmp_store_dir, cfg)
+
+    synth_dir = tmp_store_dir + "_synth"
+    os.makedirs(synth_dir, exist_ok=True)
+    synth_store = SnapshotStore(synth_dir)
+    C.run_crawl(
+        spark,
+        synth_store,
+        SyntheticPagestore(fixtures.TINY),
+        spark.read.parquet(f"{tiny_dir}/seeds.parquet"),
+        spark.read.parquet(f"{tiny_dir}/robots.parquet"),
+        spark.read.parquet(f"{tiny_dir}/politeness.parquet"),
+        cfg,
+    )
+    assert _engine_trace(spark, join_store).equals(
+        _engine_trace(spark, synth_store)
+    )
+    j_seen = {
+        r.url_hash
+        for r in join_store.read_upto(
+            spark, "seen", join_store.last_wave()
+        ).collect()
+    }
+    s_seen = {
+        r.url_hash
+        for r in synth_store.read_upto(
+            spark, "seen", synth_store.last_wave()
+        ).collect()
+    }
+    assert j_seen == s_seen

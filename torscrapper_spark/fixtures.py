@@ -3,9 +3,10 @@
 Everything is a pure function of a :class:`GraphConfig` — the reference
 simulator and the Spark engine consume byte-identical inputs, and no
 external data is used (north rule: "synthesise it deterministically at
-small scale"). numpy Generator seeding is hierarchical
-(``default_rng([seed, domain_idx])``) so content does not depend on
-generation order across domains.
+small scale"). numpy Generator seeding is hierarchical per PAGE
+(``default_rng([seed, domain_idx, page_idx])``) so content depends on
+nothing but the page's own coordinates — any page is randomly
+accessible, which the mapInPandas fetch path exploits.
 
 Produced tables (pandas DataFrames; Spark-free so the pure-Python
 reference simulator can share them):
@@ -94,69 +95,84 @@ def _pixels(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
     xx = np.arange(w, dtype=np.int32)[None, :]
     grad = (yy * 255 // max(h - 1, 1) + xx * 255 // max(w - 1, 1)) // 2
     bh, bw = (h + 7) // 8, (w + 7) // 8
+    # RNG draws stay int32 (the bit-stream consumption — and therefore
+    # the image content — must not change), but the full-resolution
+    # arithmetic runs in uint16: max value 255+95+63=413 < 2^16, so the
+    # values are identical while the big temporaries shrink 2×
+    # (generation is memory-bandwidth-sensitive at high parallelism)
     block = (
         rng.integers(0, 96, (bh, bw, 3), dtype=np.int32)
+        .astype(np.uint16)
         .repeat(8, axis=0)
         .repeat(8, axis=1)[:h, :w]
     )
-    phase = rng.integers(0, 64, (1, 1, 3), dtype=np.int32)
-    return ((grad[:, :, None] + block + phase) % 256).astype(np.uint8)
+    phase = rng.integers(0, 64, (1, 1, 3), dtype=np.int32).astype(np.uint16)
+    acc = grad.astype(np.uint16)[:, :, None] + block
+    acc += phase
+    return (acc % 256).astype(np.uint8)
+
+
+def generate_page(cfg: GraphConfig, i: int, j: int) -> dict:
+    """Pagestore row for ONE page — a pure function of (cfg, i, j) via
+    its own RNG stream ``default_rng([seed, i, j])``. Random access is
+    what lets the production-shaped fetch path (``synthetic_fetch``, a
+    mapInPandas "network") serve any URL in O(1) without replaying a
+    per-domain sequential stream, and content cannot depend on the
+    order anything is generated in."""
+    rng = np.random.default_rng([cfg.seed, i, j])
+    url = page_url(i, j, cfg.query_every)
+    # --- out-links (Zipf-ish skew toward hot domains) ---
+    links = []
+    for _ in range(cfg.links_per_page):
+        if rng.random() < cfg.hot_frac:
+            ti = int(rng.integers(0, cfg.n_hot))
+        else:
+            ti = int(rng.integers(0, cfg.n_domains))
+        if rng.random() < cfg.dangling_frac:
+            tj = int(cfg.pages_per_domain + rng.integers(0, cfg.pages_per_domain))
+            target = f"http://{domain_name(ti)}/p/{tj}"
+        else:
+            tj = int(rng.integers(0, cfg.pages_per_domain))
+            target = page_url(ti, tj, cfg.query_every)
+        if rng.random() < cfg.noise_frac:
+            target = _noisy(target, int(rng.integers(0, 4)))
+        links.append(target)
+    html = "<html><body>" + "".join(
+        f'<a href="{u}">t</a>' for u in links
+    ) + "</body></html>"
+    # --- image payload (input_hint shape, BASELINE.json:15) ---
+    side = int(cfg.img_sizes[(i + j) % len(cfg.img_sizes)])
+    w = h = side
+    fmt = cfg.fmts[(i * 7 + j) % len(cfg.fmts)]
+    pixels = _pixels(rng, h, w)
+    image_id = f"{domain_name(i)}/p{j}"
+    return {
+        "url": url,
+        "image_id": image_id,
+        "bytes": encode(pixels, fmt),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": f"img {image_id} tok {(i * 131 + j * 17) % 997}",
+        # reference caption for the exact-equality invariant
+        # (BASELINE.json:15); equal by construction, negative
+        # tests corrupt one side
+        "ref_caption": f"img {image_id} tok {(i * 131 + j * 17) % 997}",
+        "phash": avg_phash(pixels),
+        "ref_bytes": encode(pixels, "zlib-rgb"),
+        "html": html,
+        "out_links": links,
+    }
 
 
 def generate_pagestore_domain(cfg: GraphConfig, i: int) -> pd.DataFrame:
-    """Pagestore rows for ONE domain — independent of every other domain
-    (hierarchical seeding ``default_rng([seed, i])``), so generation
-    distributes embarrassingly: ``bench.py`` fans domains out over a
-    Spark ``mapInPandas`` job for large graphs while small/test graphs
-    use the driver-side :func:`generate_pagestore`; both produce
+    """Pagestore rows for ONE domain — each page an independent RNG
+    stream (:func:`generate_page`), so generation distributes
+    embarrassingly: ``bench.py`` fans domains out over a Spark
+    ``mapInPandas`` job for large graphs while small/test graphs use
+    the driver-side :func:`generate_pagestore`; both produce
     byte-identical rows."""
-    rows = []
-    fmts = cfg.fmts
-    rng = np.random.default_rng([cfg.seed, i])
-    for j in range(cfg.pages_per_domain):
-        url = page_url(i, j, cfg.query_every)
-        # --- out-links (Zipf-ish skew toward hot domains) ---
-        links = []
-        for _ in range(cfg.links_per_page):
-            if rng.random() < cfg.hot_frac:
-                ti = int(rng.integers(0, cfg.n_hot))
-            else:
-                ti = int(rng.integers(0, cfg.n_domains))
-            if rng.random() < cfg.dangling_frac:
-                tj = int(cfg.pages_per_domain + rng.integers(0, cfg.pages_per_domain))
-                target = f"http://{domain_name(ti)}/p/{tj}"
-            else:
-                tj = int(rng.integers(0, cfg.pages_per_domain))
-                target = page_url(ti, tj, cfg.query_every)
-            if rng.random() < cfg.noise_frac:
-                target = _noisy(target, int(rng.integers(0, 4)))
-            links.append(target)
-        html = "<html><body>" + "".join(
-            f'<a href="{u}">t</a>' for u in links
-        ) + "</body></html>"
-        # --- image payload (input_hint shape, BASELINE.json:15) ---
-        side = int(cfg.img_sizes[(i + j) % len(cfg.img_sizes)])
-        w = h = side
-        fmt = fmts[(i * 7 + j) % len(fmts)]
-        pixels = _pixels(rng, h, w)
-        image_id = f"{domain_name(i)}/p{j}"
-        rows.append({
-            "url": url,
-            "image_id": image_id,
-            "bytes": encode(pixels, fmt),
-            "w": w,
-            "h": h,
-            "fmt": fmt,
-            "caption": f"img {image_id} tok {(i * 131 + j * 17) % 997}",
-            # reference caption for the exact-equality invariant
-            # (BASELINE.json:15); equal by construction, negative
-            # tests corrupt one side
-            "ref_caption": f"img {image_id} tok {(i * 131 + j * 17) % 997}",
-            "phash": avg_phash(pixels),
-            "ref_bytes": encode(pixels, "zlib-rgb"),
-            "html": html,
-            "out_links": links,
-        })
+    rows = [generate_page(cfg, i, j) for j in range(cfg.pages_per_domain)]
     df = pd.DataFrame(rows)
     df["w"] = df["w"].astype("int32")
     df["h"] = df["h"].astype("int32")

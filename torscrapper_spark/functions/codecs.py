@@ -89,14 +89,22 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 def avg_phash(pixels: np.ndarray) -> int:
     """64-bit average perceptual hash (8×8 block means vs their mean).
 
-    Deterministic, numpy-only; h and w must be multiples of 8 (fixture
-    images are 16/32/64). Returned as a signed int64 (two's complement)
-    so it round-trips through a Spark LongType column.
+    Deterministic, numpy-only, EXACT integer arithmetic throughout:
+    bit_i = (block_mean_i > global_mean) is evaluated as
+    (64 · block_sum_i > total_sum) over integer channel sums, so the
+    result cannot depend on float rounding or summation order — the
+    property that lets the batched validator
+    (``operators.fetch._validate_group``) reproduce stored hashes
+    bit-exactly. h and w must be multiples of 8. Returned as a signed
+    int64 (two's complement) so it round-trips through a Spark
+    LongType column.
     """
     h, w = pixels.shape[:2]
-    gray = pixels.astype(np.float64).mean(axis=2)
-    blocks = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
-    bits = (blocks > blocks.mean()).astype(np.uint8).ravel()
+    gray3 = pixels.astype(np.uint16).sum(axis=2)            # 3·gray, ≤765
+    blocks3 = gray3.reshape(8, h // 8, 8, w // 8).sum(
+        axis=(1, 3), dtype=np.int64
+    )
+    bits = ((blocks3 * 64) > blocks3.sum()).astype(np.uint8).ravel()
     v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
 

@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from ..fixtures import DEFAULT_BUDGET
 from ..functions.spark_udfs import canonicalize_udf, domain_col, url_hash_col
-from ..operators.fetch import decode_validate, fetch_join
+from ..operators.fetch import (
+    SyntheticPagestore,
+    decode_validate,
+    fetch_join,
+    synthetic_fetch_validate,
+)
 from ..operators.links import extract_candidates
 from ..operators.politeness import PRIORITY_COLS, budget_select, robots_gate
 from ..operators.seen import empty_bloom, new_candidates, update_bloom
@@ -50,8 +55,23 @@ def _run_concurrently(jobs) -> None:
     any job propagate."""
     from concurrent.futures import ThreadPoolExecutor
 
+    profile = os.environ.get("TS_CRAWL_PROFILE") == "1"
+
+    def timed(j):
+        if not profile:
+            return j
+
+        def wrapper():
+            t0 = time.time()
+            try:
+                return j()
+            finally:
+                print(f"    [job {j.__name__}] {time.time() - t0:.2f}s",
+                      flush=True)
+        return wrapper
+
     with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-        futures = [ex.submit(j) for j in jobs]
+        futures = [ex.submit(timed(j)) for j in jobs]
         for f in futures:
             f.result()
 
@@ -160,7 +180,7 @@ def run_wave(
     selected = budget_select(
         frontier, politeness, cfg.default_budget, cfg.salt_buckets
     )
-    if cfg.pagestore_buckets > 0:
+    if cfg.pagestore_buckets > 0 and isinstance(pagestore, DataFrame):
         selected = selected.withColumn(
             "bucket",
             F.pmod(F.col("url_hash"), F.lit(cfg.pagestore_buckets)).cast("int"),
@@ -168,20 +188,65 @@ def run_wave(
     selected = selected.persist()
     mark("budget_select")
 
-    validated = decode_validate(fetch_join(selected, pagestore)).persist()
+    if isinstance(pagestore, SyntheticPagestore):
+        # production fetch shape: mapInPandas "network", O(wave) cost,
+        # FUSED with validation so payload bytes never leave the Python
+        # worker. Repartition FIRST: the frontier rows are ~150 bytes,
+        # so AQE coalesces them into a handful of partitions — but each
+        # row expands into tens of KB of payload and milliseconds of
+        # fetch+decode compute, and a narrow fetch stage idles the
+        # cluster. The shuffle moved here is tiny (keys only,
+        # pre-expansion). Width scales with cluster size (8 tasks per
+        # core — at ~2k rows × 12 ms/row a coarser split makes each
+        # task a 20 s monolith and the last scheduling round a long
+        # straggler tail).
+        width = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            spark.sparkContext.defaultParallelism * 8,
+        )
+        validated = synthetic_fetch_validate(
+            selected.repartition(width, "url_hash"), pagestore.cfg
+        )
+    else:
+        validated = decode_validate(fetch_join(selected, pagestore))
+    # Cache the wave's verdicts in ~1 partition per core, whatever the
+    # fetch stage's width was: the fetch wants hundreds of fine-grained
+    # tasks for load balance, but every downstream job (trace, pages,
+    # metrics, link extraction) re-reads this cache, and a 256-partition
+    # cache made each of those jobs pay 256 scheduler+file-commit
+    # overheads for a few hundred KB of data. The verdict rows are ~1 KB
+    # (no image payload), so this extra shuffle is a few hundred MB at
+    # most.
+    validated = validated.repartition(
+        spark.sparkContext.defaultParallelism
+    ).persist()
     n_fetched = validated.count()
     mark("fetch_validate")
 
-    # ---- phase A: independent jobs over the cached `validated`, run
-    # CONCURRENTLY from driver threads (Spark schedules them together;
-    # each job's fixed cost overlaps instead of stacking serially) ----
+    # ---- everything below the fetch runs as ONE concurrent batch of
+    # independent jobs over the cached `validated` (submitted from
+    # driver threads at the end of this function; Spark schedules them
+    # together so fixed costs overlap instead of stacking serially) ----
 
     def job_trace():
-        # trace (A20): global priority order within the wave, seq 1-based
-        trace = with_global_seq(
-            validated.select("url", "url_hash", "depth", "discovered_wave", "status"),
-            PRIORITY_COLS,
+        # trace (A20): global priority order within the wave, seq
+        # 1-based. Adaptive: a politeness-bounded wave (n_fetched is
+        # already known here) sorts in one window task — one job, no
+        # range-sampler/count mini-jobs; only a wave too big for one
+        # task (10^10-frontier regime) pays for the scalable
+        # range-partitioned sequence operator.
+        from pyspark.sql import Window
+
+        base = validated.select(
+            "url", "url_hash", "depth", "discovered_wave", "status"
         )
+        seq_cache = None
+        if n_fetched <= 2_000_000:
+            w = Window.orderBy(*PRIORITY_COLS)
+            trace = base.withColumn("seq", F.row_number().over(w))
+        else:
+            trace = with_global_seq(base, PRIORITY_COLS)
+            seq_cache = getattr(trace, "_seq_cache")
         trace_out = trace.select(
             F.lit(wave).cast("int").alias("wave"),
             F.col("seq").cast("long").alias("seq"),
@@ -190,7 +255,8 @@ def run_wave(
             F.col("status").cast("int").alias("status"),
         )
         store.write(trace_out, "trace", wave)
-        getattr(trace, "_seq_cache").unpersist()
+        if seq_cache is not None:
+            seq_cache.unpersist()
 
     def job_pages():
         # pages snapshot (payload verdicts; html/bytes not persisted)
@@ -229,15 +295,6 @@ def run_wave(
     new = new_candidates(
         candidates, seen, bloom, cfg.bloom_shards, cfg.use_bloom
     ).persist()
-
-    def job_links():
-        new.count()
-
-    _run_concurrently([job_trace, job_pages, job_metrics, job_links])
-    n_new = new.count()  # cached — immediate
-    mark("phaseA_concurrent")
-
-    # ---- phase B: next-wave state, again concurrent ----
 
     def job_seen():
         store.write(
@@ -283,14 +340,27 @@ def run_wave(
         bloom_next = update_bloom(bloom, new, cfg.bloom_shards)
         store.write(bloom_next, "bloom", wave + 1)
 
-    phase_b = [job_seen, job_frontier]
-    if cfg.use_bloom:
-        phase_b.append(job_bloom)
-    _run_concurrently(phase_b)
-    mark("phaseB_state")
+    # ---- one concurrent batch for everything after the fetch ----
+    # Independent DAGs over the cached `validated`: the three output
+    # writes (trace/pages/metrics) and the state chain (materialize
+    # `new`, then fork its three dependents seen/frontier/bloom). A
+    # serial barrier between "outputs" and "state" phases wasted
+    # several seconds per wave — the output writes and the candidate
+    # pipeline have no data dependency at all.
+    new_counts: dict[str, int] = {}
+
+    def job_state_chain():
+        new_counts["n"] = new.count()  # materialize the shared cache
+        dependents = [job_seen, job_frontier]
+        if cfg.use_bloom:
+            dependents.append(job_bloom)
+        _run_concurrently(dependents)
+
+    _run_concurrently([job_trace, job_pages, job_metrics, job_state_chain])
+    n_new = new_counts["n"]
+    mark("post_fetch_concurrent")
 
     n_frontier = frontier_counts["n"]
-    mark("counts_rest")
     n_seen_prev = store.manifest(wave)["seen_total"]
     selected.unpersist()
     validated.unpersist()

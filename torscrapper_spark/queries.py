@@ -1324,6 +1324,83 @@ def q45(spark, sf):
     return c.exceptAll(o.distinct()).distinct()
 
 
+@q("q47_stream_sliding_window", """
+WITH starts AS (
+    SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS win_start_us, value
+    FROM events
+    UNION ALL
+    SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) - 300000000 AS win_start_us, value
+    FROM events
+)
+SELECT win_start_us, COUNT(*) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+FROM starts GROUP BY win_start_us
+""")
+def q47(spark, sf):
+    """Sliding event-time windows (10 min / 5 min): every event belongs
+    to exactly two overlapping windows; oracle materializes both window
+    starts per event and aggregates."""
+    from .streaming.events import sliding_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return sliding_counts(spark, sf)
+
+
+@q("q48_dedup_embedding_cosine", """
+SELECT id_a, id_b, cos FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos >= 0.3
+""")
+def q48(spark, sf):
+    """Embedding-cosine near-dup detection: candidate pairs are blocked
+    by the coarse bucket (``label`` here; an LSH/IVF bucket at scale —
+    never all-pairs), exact cosine on candidates, threshold filter.
+    Unit-norm embeddings ⇒ cosine == dot (JVM-side zip_with/aggregate)."""
+    em = t(spark, sf, "embeddings")
+    a = em.select(
+        F.col("vec_id").alias("id_a"), F.col("label"),
+        F.col("embedding").alias("ea"),
+    )
+    b = em.select(
+        F.col("vec_id").alias("id_b"), F.col("label"),
+        F.col("embedding").alias("eb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot, 6).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+@q("q49_grouping_sets", f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       SUM(CAST(l_quantity AS {DEC})) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""")
+def q49(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+        )
+    )
+
+
 @q("q46_union_by_name", """
 SELECT entity_id, kind FROM (
     SELECT c_custkey AS entity_id, 'customer' AS kind FROM customer WHERE c_nationkey = 7

@@ -21,6 +21,12 @@ def get_spark(
     (DuckDB-oracle parity), shuffle partitions sized to cores rather
     than the 200 default.
     """
+    # this sandbox VM services first-touch page faults very slowly;
+    # keep glibc from returning large freed buffers to the OS so numpy/
+    # Arrow churn in the Python workers (which inherit this env in
+    # local mode) does not re-fault the same pages every batch
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
     master = master or os.environ.get("SPARK_MASTER", "local[4]")
     cores = _master_cores(master)
     if shuffle_partitions is None:

@@ -69,6 +69,24 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly
+    two overlapping windows (duration/slide = 2), the streaming shape
+    for wave-rate dashboards smoother than a tumbling bucket."""
+    s = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(
+        F.window(F.col("ts"), "10 minutes", "5 minutes").alias("win")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.unix_micros(F.col("win.start").cast("timestamp")).alias("win_start_us"),
+        "n", "cents",
+    )
+
+
 def session_counts(spark: SparkSession, sf_dir: str, gap: str = "5 minutes") -> DataFrame:
     """Per-user session windows (gap-merged) — the streaming analogue of
     sessionization; emits (user_id, session_start, n_events)."""
