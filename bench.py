@@ -309,6 +309,20 @@ def run_crawl_bench(
     }
 
 
+def warm_sf_tables(spark, sf_dir: str) -> None:
+    """Untimed full scan of every fixture table the headline queries
+    read. Round 1 timed q01/q02 at 12.5 s / 43.8 s for a ~600k-row scan
+    — cold parquet reads on the erratic shared-tenant virtio disk, not
+    plan cost (VERDICT.md next-round #5). The metric of interest is
+    steady-state plan execution, so the file cache is warmed first."""
+    from torscrapper_spark.queries import TABLES
+
+    for name in TABLES:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+
 def run_headline_queries(spark, sf_dir: str) -> dict:
     from torscrapper_spark.queries import registry
 
@@ -395,46 +409,69 @@ def main():
         # each parallelism level runs in its OWN subprocess: pyspark's
         # JVM survives spark.stop(), so a second in-process session
         # would inherit the first run's heap (and its memory settings),
-        # skewing the comparison. Generate the graph once up front so
-        # neither timed subprocess pays for it.
+        # skewing the comparison. Generate the graphs once up front so
+        # no timed subprocess pays for it. TWO fetch paths are measured
+        # (ADVICE.md: the synthetic-only run left the store-join path
+        # unmeasured at scale): the primary compute-dominant synthetic-
+        # network crawl AND a store-join crawl over a materialized
+        # memory-pinned pagestore.
         import subprocess
 
+        with_store = "--no-store" not in sys.argv
         spark = fresh_spark(cpus)
         prepare_graph(spark, scaling_graph_cfg(), with_pagestore=False)
+        if with_store:
+            prepare_graph(spark, default_graph_cfg(sf), with_pagestore=True)
         spark.stop()
 
-        results = {}
-        for n in SCALE_PAIR:
-            out = tempfile.mktemp(suffix=".json")
-            env = dict(os.environ)
-            env["SPARK_GRAFT_SF_DIR"] = sf_dir
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one",
-                 str(n), out, "scaling"],
-                check=True, env=env,
-            )
-            with open(out) as f:
-                results[n] = json.load(f)
-        small, big = SCALE_PAIR
-        eff = (results[big]["urls_per_sec"] / results[small]["urls_per_sec"]) / 4
-        identical = results[small]["trace_fp"] == results[big]["trace_fp"]
-        write_baseline_md(results, eff, identical)
-        print(json.dumps({
+        def run_pair(mode: str) -> tuple[dict, float, bool]:
+            results = {}
+            for n in SCALE_PAIR:
+                out = tempfile.mktemp(suffix=".json")
+                env = dict(os.environ)
+                env["SPARK_GRAFT_SF_DIR"] = sf_dir
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one",
+                     str(n), out, mode],
+                    check=True, env=env,
+                )
+                with open(out) as f:
+                    results[n] = json.load(f)
+            small, big = SCALE_PAIR
+            eff = (results[big]["urls_per_sec"] / results[small]["urls_per_sec"]) / 4
+            identical = results[small]["trace_fp"] == results[big]["trace_fp"]
+            return results, eff, identical
+
+        results, eff, identical = run_pair("scaling")
+        store_results = store_eff = store_identical = None
+        if with_store:
+            store_results, store_eff, store_identical = run_pair("default")
+        write_baseline_md(results, eff, identical,
+                          store_results, store_eff, store_identical)
+        line = {
             "metric": f"scaling_efficiency_{SCALE_PAIR[0]}_to_{SCALE_PAIR[1]}",
             "value": round(eff, 3),
             "unit": "ratio",
             f"urls_per_sec_local{SCALE_PAIR[0]}": results[SCALE_PAIR[0]]["urls_per_sec"],
             f"urls_per_sec_local{SCALE_PAIR[1]}": results[SCALE_PAIR[1]]["urls_per_sec"],
             "traces_identical": identical,
-        }))
+        }
+        if store_results is not None:
+            line["store_join_efficiency"] = round(store_eff, 3)
+            line["store_join_traces_identical"] = store_identical
+        print(json.dumps(line))
         return
 
     spark = fresh_spark(cpus)
+    # headline queries run FIRST (fresh JVM, warmed file cache) so their
+    # timings measure plan execution, not cold-disk reads or post-crawl
+    # JVM state (round 1's q01/q02 were unmeasurable; VERDICT.md #5)
+    warm_sf_tables(spark, sf_dir)
+    queries = run_headline_queries(spark, sf_dir)
     cfg = default_graph_cfg(sf)
     graph_dir = prepare_graph(spark, cfg)
     warmup_crawl(spark)
     crawl = run_crawl_bench(spark, graph_dir, crawl_cfg_for("default", buckets_for(cfg)))
-    queries = run_headline_queries(spark, sf_dir)
     print(json.dumps({
         "metric": "frontier_urls_fetched_deduped_per_sec",
         "value": crawl["urls_per_sec"],
@@ -451,7 +488,9 @@ def main():
     }))
 
 
-def write_baseline_md(results, eff, identical):
+def write_baseline_md(results, eff, identical,
+                      store_results=None, store_eff=None,
+                      store_identical=None):
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     cfg = scaling_graph_cfg()
     n_pages = cfg.n_domains * cfg.pages_per_domain
@@ -471,6 +510,13 @@ def write_baseline_md(results, eff, identical):
         "runs both on the same cores; a real cluster gives N and 4N executors "
         "identical per-executor budgets).",
         "",
+        "Per-wave seconds measure each wave's state-chain latency (fetch → "
+        "frontier/seen/bloom committed); output writes (trace/pages/metrics) "
+        "overlap the next wave and are fully drained inside the reported "
+        "wall time.",
+        "",
+        "## Primary: synthetic-network fetch (compute-dominant, the 10^10 regime)",
+        "",
         "| master | wall sec | fetched | seen | urls/sec | per-wave sec |",
         "|---|---|---|---|---|---|",
     ]
@@ -488,8 +534,41 @@ def write_baseline_md(results, eff, identical):
         f"Traces bit-identical across parallelism levels: **{identical}**",
         "",
         f"Per-wave fetched: {results[SCALE_PAIR[1]]['wave_fetched']}",
+    ]
+    if store_results is not None:
+        dcfg = default_graph_cfg(0.1)
+        lines += [
+            "",
+            "## Secondary: store-join fetch (materialized memory-pinned "
+            "pagestore; ADVICE.md round 1)",
+            "",
+            f"Graph: {dcfg.n_domains} domains × {dcfg.pages_per_domain} pages, "
+            f"{dcfg.img_sizes[0]}px payloads — the default-bench graph; the "
+            "wave joins a broadcast frontier against the scanned store "
+            "(operators/fetch.py::fetch_join), so this pair measures the "
+            "JVM scan/join path rather than vectorized-Python compute. "
+            "NOT comparable to the primary table (different graph, different "
+            "bottleneck); reported so the store-backed path has scaling "
+            "evidence too.",
+            "",
+            "| master | wall sec | fetched | seen | urls/sec | per-wave sec |",
+            "|---|---|---|---|---|---|",
+        ]
+        for n in SCALE_PAIR:
+            r = store_results[n]
+            lines.append(
+                f"| local[{n}] | {r['wall_sec']} | {r['fetched_total']} | "
+                f"{r['seen_total']} | {r['urls_per_sec']} | {r['wave_secs']} |"
+            )
+        lines += [
+            "",
+            f"**Store-join scaling efficiency = {store_eff:.3f}**",
+            "",
+            f"Traces bit-identical across parallelism levels: **{store_identical}**",
+        ]
+    lines += [
         "",
-        f"Per-wave commits (local[{SCALE_PAIR[1]}]):",
+        f"Per-wave commits (local[{SCALE_PAIR[1]}], primary):",
         "```json",
         json.dumps(results[SCALE_PAIR[1]]["per_wave"], indent=1),
         "```",

@@ -73,6 +73,70 @@ def test_trace_and_seen_match_golden(
     assert eng_seen == gold_seen
 
 
+def test_metrics_match_golden_wave_stats(
+    spark, tiny_tables, tiny_dir, tmp_store_dir
+):
+    """A18: the per-partition metrics table, rolled up per wave, must
+    equal the golden simulator's wave_stats (fetched/ok/missing), and
+    each wave's manifest new_urls must equal the simulator's links_new
+    (VERDICT.md next-round #7 — round 1 wrote the metrics every wave
+    but never asserted the values)."""
+    t = tiny_tables
+    gold = refsim.simulate(
+        t["pagestore"], t["seeds"], t["robots"], t["politeness"],
+        max_waves=3, default_budget=5,
+    )
+    cfg = C.CrawlConfig(
+        max_waves=3, default_budget=5, use_bloom=True,
+        bloom_shards=4, bloom_bits=1 << 14,
+    )
+    store = _run_engine(spark, tiny_dir, tmp_store_dir, cfg)
+    m = (
+        store.read_outputs(spark, "metrics")
+        .groupBy("wave")
+        .agg(
+            F.sum("fetched").alias("fetched"),
+            F.sum("ok").alias("ok"),
+            F.sum("missing").alias("missing"),
+            F.sum("decoded").alias("decoded"),
+        )
+        .orderBy("wave")
+        .toPandas()
+    )
+    gs = gold.wave_stats.sort_values("wave").reset_index(drop=True)
+    assert list(m["wave"]) == list(gs["wave"])
+    for col in ("fetched", "ok", "missing"):
+        assert list(m[col].astype(int)) == list(gs[col].astype(int)), col
+    # every fetched-200 page decodes in this fixture graph
+    assert list(m["decoded"].astype(int)) == list(gs["ok"].astype(int))
+    for w, links_new in zip(gs["wave"], gs["links_new"]):
+        assert store.manifest(int(w) + 1)["new_urls"] == int(links_new)
+
+
+def test_text_seed_ingestion_equivalent(spark, tiny_tables, tiny_dir):
+    """A1 via ``spark.read.text``: a seed-list text file (one URL per
+    line, duplicates included) must canonicalize to the exact frontier
+    the parquet seed table produces."""
+    import os
+    import tempfile
+
+    seeds_pdf = tiny_tables["seeds"].sort_values("seq")
+    txt_dir = tempfile.mkdtemp(prefix="tseeds_")
+    with open(os.path.join(txt_dir, "seeds.txt"), "w") as f:
+        for u in seeds_pdf["url"]:
+            f.write(u + "\n")
+        f.write("\n")  # blank line must be ignored
+    from_text = C.canonical_seeds(
+        C.load_seeds_text(spark, os.path.join(txt_dir, "seeds.txt"))
+    )
+    from_parquet = C.canonical_seeds(
+        spark.read.parquet(f"{tiny_dir}/seeds.parquet")
+    )
+    a = from_text.orderBy("url").toPandas()
+    b = from_parquet.orderBy("url").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_image_invariants_on_fetched_pages(spark, tiny_dir, tmp_store_dir):
     """Every successfully fetched page passes the per-row invariant
     (decode ok, PSNR≥40dB lossy / bit-exact lossless, phash match,

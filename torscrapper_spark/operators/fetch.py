@@ -311,7 +311,11 @@ def _validate_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     }
     n_bytes = np.zeros(n, dtype=np.int64)
     if ok.any():
-        n_bytes[ok] = [len(b) for b in pdf["bytes"].to_numpy()[ok]]
+        # None guard: a status-200 row with a null body (possible from a
+        # real fetcher) must mark the ROW invalid, not kill the task
+        n_bytes[ok] = [
+            0 if b is None else len(b) for b in pdf["bytes"].to_numpy()[ok]
+        ]
         keys = pd.DataFrame({
             "fmt": pdf["fmt"].to_numpy(), "w": pdf["w"].to_numpy(),
             "h": pdf["h"].to_numpy(), "_i": np.arange(n),

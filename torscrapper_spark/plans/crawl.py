@@ -92,6 +92,13 @@ class CrawlConfig:
     salt_buckets: int = 0         # >1 enables two-phase budget top-k
     frontier_salt: int = 8        # salted repartition width (A17)
     pagestore_buckets: int = 0    # >0: pagestore is bucket-partitioned (DPP)
+    # waves up to this size sort the trace in ONE window task (cheapest:
+    # no range-sampler/count mini-jobs); larger waves use the scalable
+    # range-partitioned with_global_seq. Round 1 hard-coded 2M, which
+    # put a 125k-row single-task sort on the scaling bench's hot path
+    # (VERDICT.md "What's wrong" #3; ADVICE.md) — now a tunable with a
+    # default small enough that every bench-scale wave parallelizes.
+    trace_single_task_rows: int = 50_000
 
 
 def load_pagestore(
@@ -113,6 +120,25 @@ def load_pagestore(
             )
         cols.append("bucket")
     return ps.select(*cols)
+
+
+def load_seeds_text(spark: SparkSession, path: str) -> DataFrame:
+    """A1 seed ingestion from a plain seed-list text file (one URL per
+    line) via ``spark.read.text`` — the reference's seed source shape
+    (SURVEY.md §2.A A1; VERDICT.md "What's missing" #2). ``seq`` is
+    ``monotonically_increasing_id()``: partition-indexed by file-split
+    offset, so it increases in file order for a given input; it is only
+    consumed as the duplicate-seed tiebreak (min seq wins in
+    :func:`canonical_seeds`), where any order-preserving value yields
+    the same canonical frontier. Blank lines are dropped."""
+    return (
+        spark.read.text(path)
+        .select(
+            F.monotonically_increasing_id().alias("seq"),
+            F.trim(F.col("value")).alias("url"),
+        )
+        .filter(F.length("url") > 0)
+    )
 
 
 def canonical_seeds(seeds: DataFrame) -> DataFrame:
@@ -164,8 +190,20 @@ def run_wave(
     politeness: DataFrame,
     cfg: CrawlConfig,
     wave: int,
-) -> dict:
-    """Execute wave ``wave`` (state w → state w+1 + outputs). Returns counts."""
+    prev_seen_total: int,
+):
+    """Execute wave ``wave`` (state w → state w+1 + outputs).
+
+    Returns ``(info, finish_outputs)``: ``info`` has the wave's counts
+    and is available as soon as the STATE chain (seen/frontier/bloom
+    writes) lands — everything wave w+1 depends on — while
+    ``finish_outputs()`` runs the output writes (trace/pages/metrics)
+    and releases the wave's caches. The caller overlaps
+    ``finish_outputs`` with wave w+1's fetch (see :func:`run_crawl`):
+    the output writes read only this wave's cached verdicts, so they
+    soak up cores the next wave's barrier phases leave idle instead of
+    serializing behind a commit barrier (VERDICT.md next-round #2c).
+    """
     profile = os.environ.get("TS_CRAWL_PROFILE") == "1"
     _marks: list[tuple[str, float]] = [("start", time.time())]
 
@@ -230,18 +268,18 @@ def run_wave(
 
     def job_trace():
         # trace (A20): global priority order within the wave, seq
-        # 1-based. Adaptive: a politeness-bounded wave (n_fetched is
-        # already known here) sorts in one window task — one job, no
-        # range-sampler/count mini-jobs; only a wave too big for one
-        # task (10^10-frontier regime) pays for the scalable
-        # range-partitioned sequence operator.
+        # 1-based. Adaptive: a small wave (n_fetched is already known
+        # here) sorts in one window task — one job, no
+        # range-sampler/count mini-jobs; anything above the configured
+        # threshold uses the scalable range-partitioned sequence
+        # operator (cfg.trace_single_task_rows, default 50k).
         from pyspark.sql import Window
 
         base = validated.select(
             "url", "url_hash", "depth", "discovered_wave", "status"
         )
         seq_cache = None
-        if n_fetched <= 2_000_000:
+        if n_fetched <= cfg.trace_single_task_rows:
             w = Window.orderBy(*PRIORITY_COLS)
             trace = base.withColumn("seq", F.row_number().over(w))
         else:
@@ -295,15 +333,23 @@ def run_wave(
     new = new_candidates(
         candidates, seen, bloom, cfg.bloom_shards, cfg.use_bloom
     ).persist()
+    probe_cache = getattr(new, "_probe_cache", None)
+
+    new_counts: dict[str, int] = {}
 
     def job_seen():
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        # observe() rides the write — n_new costs no separate count job
         store.write(
             new.select(
                 "url_hash", F.lit(wave + 1).cast("int").alias("wave_added")
-            ),
+            ).observe(obs, F.count(F.lit(1)).alias("n")),
             "seen",
             wave + 1,
         )
+        new_counts["n"] = int(obs.get["n"])
 
     frontier_counts: dict[str, int] = {}
 
@@ -312,8 +358,10 @@ def run_wave(
         # repartition on (domain, salt) → hot domains spread over tasks (A17)
         from pyspark.sql import Observation
 
+        # broadcast the (politeness-bounded) selected keys so the
+        # frontier state table is scanned, never shuffled, for removal
         remaining = frontier.join(
-            selected.select("url_hash"), "url_hash", "left_anti"
+            F.broadcast(selected.select("url_hash")), "url_hash", "left_anti"
         )
         inserts = robots_gate(new, robots).select(*FRONTIER_COLS)
         obs = Observation()
@@ -340,46 +388,46 @@ def run_wave(
         bloom_next = update_bloom(bloom, new, cfg.bloom_shards)
         store.write(bloom_next, "bloom", wave + 1)
 
-    # ---- one concurrent batch for everything after the fetch ----
-    # Independent DAGs over the cached `validated`: the three output
-    # writes (trace/pages/metrics) and the state chain (materialize
-    # `new`, then fork its three dependents seen/frontier/bloom). A
-    # serial barrier between "outputs" and "state" phases wasted
-    # several seconds per wave — the output writes and the candidate
-    # pipeline have no data dependency at all.
-    new_counts: dict[str, int] = {}
-
-    def job_state_chain():
-        new_counts["n"] = new.count()  # materialize the shared cache
-        dependents = [job_seen, job_frontier]
-        if cfg.use_bloom:
-            dependents.append(job_bloom)
-        _run_concurrently(dependents)
-
-    _run_concurrently([job_trace, job_pages, job_metrics, job_state_chain])
+    # ---- STATE chain: everything wave w+1 needs. job_seen runs FIRST
+    # and alone: its write materializes the cached `new` end-to-end
+    # (candidate pipeline + bloom probe + seen scan run exactly once);
+    # the frontier/bloom writes then fork concurrently over the warm
+    # cache. Launching all three cold would race each job into
+    # recomputing the probe pipeline's broadcast inputs.
+    job_seen()
+    dependents = [job_frontier]
+    if cfg.use_bloom:
+        dependents.append(job_bloom)
+    _run_concurrently(dependents)
     n_new = new_counts["n"]
-    mark("post_fetch_concurrent")
+    mark("state_chain")
 
-    n_frontier = frontier_counts["n"]
-    n_seen_prev = store.manifest(wave)["seen_total"]
     selected.unpersist()
-    validated.unpersist()
     new.unpersist()
+    if probe_cache is not None:
+        probe_cache.unpersist()
     info = {
-        "frontier_count": n_frontier,
-        "seen_total": int(n_seen_prev) + n_new,
+        "frontier_count": frontier_counts["n"],
+        "seen_total": int(prev_seen_total) + n_new,
         "fetched": n_fetched,
         "new_urls": n_new,
     }
-    store.commit(wave + 1, info)
-    if profile:
-        prev = _marks[0][1]
-        spans = []
-        for label, tt in _marks[1:]:
-            spans.append(f"{label}={tt - prev:.2f}s")
-            prev = tt
-        print(f"[wave {wave}] " + " ".join(spans), flush=True)
-    return info
+
+    def finish_outputs():
+        # OUTPUT writes: nothing downstream in the crawl depends on
+        # them — run them while wave w+1 is already fetching
+        _run_concurrently([job_trace, job_pages, job_metrics])
+        validated.unpersist()
+        mark("outputs")
+        if profile:
+            prev = _marks[0][1]
+            spans = []
+            for label, tt in _marks[1:]:
+                spans.append(f"{label}={tt - prev:.2f}s")
+                prev = tt
+            print(f"[wave {wave}] " + " ".join(spans), flush=True)
+
+    return info, finish_outputs
 
 
 def run_crawl(
@@ -396,21 +444,48 @@ def run_crawl(
     Resume needs no special casing: if a committed snapshot exists the
     loop simply continues from it (BASELINE.json:14 "resumable restarts").
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     if store.last_wave() is None:
         init_state(spark, store, seeds, robots, cfg)
     wave = store.last_wave()
+    state = store.manifest(wave)
+    seen_total = int(state["seen_total"])
+    frontier_count = int(state["frontier_count"])
     total_fetched = 0
     wave_secs: list[float] = []
     wave_fetched: list[int] = []
-    while wave < cfg.max_waves:
-        if store.manifest(wave)["frontier_count"] == 0:
-            break
-        t0 = time.time()
-        info = run_wave(spark, store, pagestore, robots, politeness, cfg, wave)
-        wave_secs.append(round(time.time() - t0, 2))
-        wave_fetched.append(info["fetched"])
-        total_fetched += info["fetched"]
-        wave += 1
+    # Single background worker so output writes + commits stay strictly
+    # wave-ordered (the manifest commit point must never reorder) while
+    # overlapping with the NEXT wave's fetch. A crash before a pending
+    # commit simply resumes from the last committed wave; the stale
+    # uncommitted dirs are overwritten on retry (tableio docstring).
+    bg = ThreadPoolExecutor(max_workers=1)
+    pending = []
+    try:
+        while wave < cfg.max_waves:
+            if frontier_count == 0:
+                break
+            t0 = time.time()
+            info, finish_outputs = run_wave(
+                spark, store, pagestore, robots, politeness, cfg, wave,
+                prev_seen_total=seen_total,
+            )
+            pending.append(bg.submit(
+                lambda fin=finish_outputs, w=wave + 1, i=info: (
+                    fin(), store.commit(w, i)
+                )
+            ))
+            wave_secs.append(round(time.time() - t0, 2))
+            wave_fetched.append(info["fetched"])
+            total_fetched += info["fetched"]
+            seen_total = int(info["seen_total"])
+            frontier_count = int(info["frontier_count"])
+            wave += 1
+        for f in pending:
+            f.result()
+    finally:
+        bg.shutdown(wait=True)
     final = store.manifest(store.last_wave())
     return {
         "waves_run": store.last_wave(),

@@ -4,26 +4,46 @@ Each entry is ``name -> (spark_fn, duckdb_sql | None)``. The driver runs
 the Spark DataFrame query and the DuckDB oracle SQL side-by-side at
 sf=0.01 and compares row count + schema + order-insensitive value hash
 (``__spark_entry__.py``), so every computed column is aliased
-identically on both sides and float-parity hazards are avoided by
-construction:
+identically on both sides and REPRESENTATION parity is engineered, not
+hoped for. The driver's hash is representation-sensitive (round-1
+lesson: DuckDB widens SUM(BIGINT)→HUGEINT and SUM(DECIMAL)→
+DECIMAL(38,x), both of which ``.df()`` hands back as float64, while
+Spark returns int64/Decimal — equal values, different hashes). The
+rules every query here follows:
 
-  * SUM/AVG over doubles is order-dependent → aggregate in DECIMAL
-    (exact, associative) and convert to double only afterwards
-  * ``events.value`` carries exactly 2 decimals → integer-cent
-    aggregation is bit-exact on both engines
+  * NO decimal output columns, ever. Money/quantity aggregates are
+    integer units (cents via ``round(x*100)`` → BIGINT) — bit-exact
+    and order-independent on both engines.
+  * every integer SUM in the oracle SQL is wrapped ``CAST(... AS
+    BIGINT)`` so DuckDB's HUGEINT widening never reaches the driver.
+  * float output columns are derived from exact integers by the SAME
+    IEEE expression on both sides (e.g. ``CAST(cents AS DOUBLE)/100/n``)
+    — bit-identical, no tolerance needed.
   * timestamps are compared as ``unix_micros``/``epoch_us`` bigints or
-    as dates, never as raw session-timezone-dependent timestamps
-  * window/running aggregates fix a total order (ties broken by keys)
-    so both engines fold floats in the same sequence
+    as dates, never as raw session-timezone-dependent timestamps.
+  * window/running aggregates fix a total order (ties broken by keys).
+
+``tools/oracle_check.py`` enforces all of this strictly (dtype-class
+parity + bit-exact floats) and is run by tests/test_oracle.py.
 
 Queries without an oracle entry (value ``None``) are genuinely
 non-SQL-expressible ops (crawl wave, bloom filter, approx sketches);
 the driver records a weaker rows-only check for those.
+
+The registry is capped at 50 entries: round 1 registered 51 and the
+driver's CORRECTNESS report contained exactly the first 50 in
+insertion order (q46, inserted 51st, silently missing — VERDICT.md
+"What's missing" #1). Coverage is kept by folding the dropped slots
+into sibling queries (q25b's xxhash64 → q19b; q45's EXCEPT → q16).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+
+import pandas as pd  # module-level: pandas_udf type hints ('pd.Series')
+                     # are resolved in module globals under
+                     # `from __future__ import annotations`
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -41,7 +61,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-DEC = "decimal(28,4)"
+def cents(col, scale: int = 100):
+    """Exact integer-units encoding of a ≤2-decimal double (×100) or a
+    product of two such (×10000): both engines compute the identical
+    IEEE double for ``col * scale``, round it identically (half away
+    from zero on positives AND negatives), and sum in int64. SQL mirror:
+    ``CAST(round(expr * scale) AS BIGINT)`` with the outer SUM wrapped
+    in another ``CAST(... AS BIGINT)``."""
+    return F.round(col * scale).cast("long")
+
 
 _REG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
@@ -90,26 +118,33 @@ def q01(spark, sf):
 # Aggregation (TPC-H Q1 shape: decimal-exact partial+final hash agg)
 # ---------------------------------------------------------------------------
 
-@q("q02_tpch_q1", f"""
+@q("q02_tpch_q1", """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS {DEC})) AS sum_qty,
-       SUM(CAST(l_extendedprice AS {DEC})) AS sum_base_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS sum_disc_price,
-       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_c4,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """)
 def q02(spark, sf):
+    """TPC-H Q1 shape. Integer-cent aggregation (``_c`` = ×100 units,
+    ``_c4`` = ×10000 for the 2-decimal × 2-decimal product); avg_qty is
+    derived from the exact cent sum by the same double expression on
+    both engines, so even the float column is bit-identical."""
     li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    qty_c = cents(F.col("l_quantity"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("sum_disc_price"),
-            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+            F.sum(qty_c).alias("sum_qty_c"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_c"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+            ).alias("sum_disc_price_c4"),
+            (F.sum(qty_c).cast("double") / F.lit(100) / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -119,10 +154,10 @@ def q02(spark, sf):
 # Joins
 # ---------------------------------------------------------------------------
 
-@q("q03_broadcast_join", f"""
+@q("q03_broadcast_join", """
 SELECT r.r_name AS region_name,
        COUNT(*) AS n_customers,
-       SUM(CAST(c.c_acctbal AS {DEC})) AS total_acctbal
+       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_acctbal_c
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -138,14 +173,14 @@ def q03(spark, sf):
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast(DEC)).alias("total_acctbal"),
+            F.sum(cents(F.col("c_acctbal"))).alias("total_acctbal_c"),
         )
     )
 
 
-@q("q04_shuffle_join_agg", f"""
+@q("q04_shuffle_join_agg", """
 SELECT o.o_orderpriority,
-       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS revenue,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4,
        COUNT(DISTINCT o.o_orderkey) AS n_orders
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
@@ -157,15 +192,17 @@ def q04(spark, sf):
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("revenue"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+            ).alias("revenue_c4"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
 
 
-@q("q05_multi_join", f"""
+@q("q05_multi_join", """
 SELECT n.n_name AS nation_name,
-       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS revenue
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -186,7 +223,11 @@ def q05(spark, sf):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("revenue"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+            ).alias("revenue_c4")
+        )
     )
 
 
@@ -230,7 +271,7 @@ def q07(spark, sf):
 @q("q08_left_outer_join", """
 SELECT o.o_orderstatus,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+       CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
 FROM orders o
 LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 49
 GROUP BY o.o_orderstatus
@@ -274,7 +315,7 @@ def q09(spark, sf):
 
 @q("q10_theta_band_join", """
 SELECT b.band_id, COUNT(*) AS n_events,
-       SUM(CAST(round(e.value * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events e
 JOIN (SELECT n_nationkey AS band_id,
              n_nationkey * 4.0 AS lo, n_nationkey * 4.0 + 4.0 AS hi
@@ -400,10 +441,10 @@ def q12(spark, sf):
 
 @q("q13_window_running_sum", """
 SELECT event_id,
-       SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS running_cents
+       ) AS BIGINT) AS running_cents
 FROM events
 WHERE user_id < 20
 """)
@@ -462,21 +503,48 @@ def q15(spark, sf):
 # Set ops / grouping sets / distinct
 # ---------------------------------------------------------------------------
 
-@q("q16_intersect", """
-SELECT c_custkey FROM customer WHERE c_acctbal > 500
-INTERSECT
-SELECT o_custkey AS c_custkey FROM orders
+@q("q16_set_ops", """
+SELECT c_custkey, 'intersect' AS op FROM (
+    SELECT c_custkey FROM customer WHERE c_acctbal > 500
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+)
+UNION ALL
+SELECT c_custkey, 'except' AS op FROM (
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+)
 """)
 def q16(spark, sf):
-    c = t(spark, sf, "customer").filter(F.col("c_acctbal") > 500).select("c_custkey")
-    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.intersect(o)
+    """INTERSECT + EXCEPT + UNION in one query (absorbs round 1's
+    q45_except — the registry is capped at 50 driver slots, see module
+    docstring)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    o_keys = o.select(F.col("o_custkey").alias("c_custkey"))
+    inter = (
+        c.filter(F.col("c_acctbal") > 500).select("c_custkey")
+        .intersect(o_keys)
+        .withColumn("op", F.lit("intersect"))
+    )
+    exc = (
+        c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+        .exceptAll(
+            o.filter(F.col("o_orderstatus") == "F")
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+        )
+        .distinct()
+        .withColumn("op", F.lit("except"))
+    )
+    return inter.unionByName(exc)
 
 
-@q("q17_rollup", f"""
+@q("q17_rollup", """
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
-       SUM(CAST(l_quantity AS {DEC})) AS sum_qty,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -487,17 +555,17 @@ def q17(spark, sf):
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("gid"),
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
             F.count("*").alias("n"),
         )
-        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty_c", "n")
     )
 
 
 @q("q18_cube", """
 SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
        COUNT(*) AS n,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events
 WHERE ts < TIMESTAMP '2024-01-04'
 GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
@@ -527,12 +595,16 @@ def q19(spark, sf):
     )
 
 
-@q("q19b_approx_distinct", None)  # HLL sketch ≠ DuckDB's sketch → rows-only
-def q19b(spark, sf):
+@q("q19b_approx_distinct", None)  # HLL/percentile sketches + xxhash64 have no
+def q19b(spark, sf):          # DuckDB counterpart → rows-only (absorbs round
+    # 1's q25b_xxhash64: the registry is capped at 50 driver slots)
     e = t(spark, sf, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.expr("percentile_approx(value, 0.5)").alias("approx_median_value"),
+        F.xxhash64(F.min("event_type")).alias("type_xxh64"),
+        F.hash(F.min("event_type")).alias("type_hash32"),
+        F.crc32(F.min("event_type").cast("binary")).alias("type_crc32"),
     )
 
 
@@ -567,7 +639,7 @@ def q20(spark, sf):
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        EXTRACT(hour FROM ts) AS hr,
        COUNT(*) AS n,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
 GROUP BY 1, 2
@@ -632,22 +704,44 @@ def q23(spark, sf):
 
 
 @q("q24_json_funcs", """
-SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+WITH parsed AS (
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_keys(props) AS keys
+    FROM events
+)
+SELECT k % 10 AS k_mod,
        COUNT(*) AS n,
-       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-FROM events
+       MIN(k) AS k_min,
+       MAX(k) AS k_max,
+       MIN(len(keys)) AS min_nkeys,
+       MIN(array_to_string(keys, ',')) AS first_keys_csv,
+       MIN('{"k":' || CAST(k AS VARCHAR) || '}') AS min_roundtrip
+FROM parsed
 GROUP BY 1
 """)
 def q24(spark, sf):
+    """Map/JSON breadth (VERDICT.md "What's missing" #3): get_json_object
+    AND the full from_json → map_keys → to_json surface. The oracle
+    reconstructs to_json's canonical rendering ('{"k":N}', no spaces)
+    from the parsed value."""
     e = t(spark, sf, "events")
+    m = F.from_json("props", "map<string,bigint>")
     k = F.get_json_object("props", "$.k").cast("long")
+    parsed = e.select(
+        k.alias("k"),
+        F.map_keys(m).alias("keys"),
+        F.to_json(m).alias("rt"),
+    )
     return (
-        e.groupBy(F.pmod(k, F.lit(10)).alias("k_mod"))
+        parsed.groupBy(F.pmod(F.col("k"), F.lit(10)).alias("k_mod"))
         .agg(
             F.count("*").alias("n"),
-            F.min(k).alias("k_min"),
-            F.max(k).alias("k_max"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.min(F.size("keys")).cast("long").alias("min_nkeys"),
+            F.min(F.array_join("keys", ",")).alias("first_keys_csv"),
+            F.min("rt").alias("min_roundtrip"),
         )
     )
 
@@ -666,16 +760,6 @@ def q25(spark, sf):
         F.substring(
             F.md5(F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment"))), 1, 8
         ).alias("salted8"),
-    )
-
-
-@q("q25b_xxhash64", None)  # xxhash64 has no DuckDB counterpart → rows-only
-def q25b(spark, sf):
-    c = t(spark, sf, "customer")
-    return c.select(
-        "c_custkey",
-        F.xxhash64("c_name").alias("name_xxh"),
-        F.hash("c_name", "c_mktsegment").alias("mixed_hash32"),
     )
 
 
@@ -720,29 +804,43 @@ SELECT event_type,
        COUNT(*) AS n,
        MIN(value) AS v_min,
        MAX(value) AS v_max,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events
 GROUP BY event_type
 """)
 def q27(spark, sf):
-    """Grouped-map pandas agg (Arrow batches; integer-cent sum for exact
-    float-free parity with the SQL oracle)."""
+    """True GROUPED_AGG ``pandas_udf`` surface (VERDICT.md "What's
+    missing" #4 — round 1 substituted applyInPandas here; the grouped
+    MAP surface is q28). Each UDF receives the group's values as one
+    Arrow-backed pandas Series and returns a scalar; Spark runs them as
+    a vectorized aggregate (mixing with built-in aggs is unsupported,
+    so all four columns are pandas UDAFs). Integer-cent sum for exact
+    float-free parity with the SQL oracle."""
     import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    @pandas_udf("double")
+    def v_min(v: pd.Series) -> float:
+        return float(v.min())
+
+    @pandas_udf("double")
+    def v_max(v: pd.Series) -> float:
+        return float(v.max())
+
+    @pandas_udf("long")
+    def cents_sum(v: pd.Series) -> int:
+        return int((v * 100).round().astype("int64").sum())
 
     e = t(spark, sf, "events").select("event_type", "value")
-
-    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"]
-        return pd.DataFrame({
-            "event_type": [pdf["event_type"].iloc[0]],
-            "n": [len(v)],
-            "v_min": [v.min()],
-            "v_max": [v.max()],
-            "cents": [int((v * 100).round().astype("int64").sum())],
-        })
-
-    return e.groupBy("event_type").applyInPandas(
-        agg, "event_type string, n long, v_min double, v_max double, cents long"
+    return e.groupBy("event_type").agg(
+        n_rows("value").alias("n"),
+        v_min("value").alias("v_min"),
+        v_max("value").alias("v_max"),
+        cents_sum("value").alias("cents"),
     )
 
 
@@ -849,34 +947,46 @@ def _shingles(spark, sf) -> DataFrame:
     return d.select("doc_id", F.explode(sh).alias("shingle"))
 
 
-@q("q31_dedup_minhash_lsh", _SHINGLE_SQL + """
-SELECT doc_id,
-       MIN(md5('0:' || shingle)) AS sig0,
-       MIN(md5('1:' || shingle)) AS sig1,
-       MIN(md5('2:' || shingle)) AS sig2,
-       MIN(md5('3:' || shingle)) AS sig3,
-       substr(md5(MIN(md5('0:' || shingle)) || MIN(md5('1:' || shingle))
-              || MIN(md5('2:' || shingle)) || MIN(md5('3:' || shingle))), 1, 12)
-           AS lsh_bucket
-FROM sh GROUP BY doc_id
-""")
+_MINHASH_P = 8          # permutations (md5 salts)
+_MINHASH_BAND = 4       # signatures per band → 2 bands
+
+
+def _minhash_bands_sql() -> str:
+    sigs = ",\n       ".join(
+        f"MIN(md5('{p}:' || shingle)) AS sig{p}" for p in range(_MINHASH_P)
+    )
+    bands = []
+    for b in range(_MINHASH_P // _MINHASH_BAND):
+        cols = " || ".join(
+            f"MIN(md5('{p}:' || shingle))"
+            for p in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)
+        )
+        bands.append(f"substr(md5({cols}), 1, 12) AS band{b}")
+    return f"SELECT doc_id,\n       {sigs},\n       " + ",\n       ".join(bands) + "\nFROM sh GROUP BY doc_id"
+
+
+@q("q31_dedup_minhash_lsh", _SHINGLE_SQL + _minhash_bands_sql())
 def q31(spark, sf):
-    """MinHash signatures + LSH band bucket. The 'permutations' are
-    md5 with distinct salts; min() over shingles is the MinHash; the
-    bucket key is the banded signature hash — docs sharing a bucket are
-    near-dup candidates. All string-domain → bit-exact oracle parity."""
+    """MinHash signatures + LSH band buckets. The 'permutations' are md5
+    with distinct salts; min() over shingles is the MinHash; each band
+    hashes a disjoint run of signatures — docs sharing ANY band bucket
+    are near-dup candidates. 8 permutations × 2 bands of 4 (round 1
+    shipped a toy 4×1; VERDICT.md next-round #10) — the b-band OR gives
+    match probability 1-(1-j^4)^2, a usable S-curve, while staying in
+    the string domain for bit-exact oracle parity. At 10^10-doc scale
+    the candidate join keys on (band_id, bucket) — never all-pairs."""
     sh = _shingles(spark, sf)
     sigs = [
         F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"sig{p}")
-        for p in range(4)
+        for p in range(_MINHASH_P)
     ]
     out = sh.groupBy("doc_id").agg(*sigs)
-    return out.withColumn(
-        "lsh_bucket",
-        F.substring(
-            F.md5(F.concat("sig0", "sig1", "sig2", "sig3")), 1, 12
-        ),
-    )
+    for b in range(_MINHASH_P // _MINHASH_BAND):
+        cols = [f"sig{p}" for p in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND)]
+        out = out.withColumn(
+            f"band{b}", F.substring(F.md5(F.concat(*cols)), 1, 12)
+        )
+    return out
 
 
 def _simhash_sql_bits():
@@ -926,39 +1036,77 @@ def q32(spark, sf):
     return bits.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-@q("q33_dedup_ngram_jaccard", _SHINGLE_SQL + """
+_SHINGLE_DF_CAP = 50  # max docs sharing a shingle before it's dropped
+                      # from pair GENERATION (Jaccard still uses full sets)
+
+
+@q("q33_dedup_ngram_jaccard", _SHINGLE_SQL + f"""
 , ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+rare AS (
+    SELECT shingle FROM ds GROUP BY shingle
+    HAVING COUNT(*) <= {_SHINGLE_DF_CAP}
+),
+dsr AS (SELECT ds.doc_id, ds.shingle FROM ds JOIN rare USING (shingle)),
 pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-    FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_rare
+    FROM dsr a JOIN dsr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+    FROM pairs p
+    JOIN ds x ON x.doc_id = p.doc_a
+    JOIN ds y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+    GROUP BY p.doc_a, p.doc_b
 )
-SELECT p.doc_a, p.doc_b,
-       CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
-FROM pairs p
-JOIN sizes sa ON sa.doc_id = p.doc_a
-JOIN sizes sb ON sb.doc_id = p.doc_b
-ORDER BY jaccard DESC, p.doc_a, p.doc_b
+SELECT e.doc_a, e.doc_b,
+       CAST(e.inter AS DOUBLE) / (sa.n + sb.n - e.inter) AS jaccard
+FROM exact e
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+ORDER BY jaccard DESC, e.doc_a, e.doc_b
 LIMIT 20
 """)
 def q33(spark, sf):
-    """n-gram Jaccard near-dup: candidate pairs via shared-shingle join
-    (never all-pairs — the join IS the blocking step), exact Jaccard on
-    candidates, deterministic top-20."""
-    ds = _shingles(spark, sf).distinct()
+    """n-gram Jaccard near-dup with a hot-shingle frequency cap
+    (VERDICT.md next-round #8): round 1 blocked pairs on RAW shared
+    shingles — a stop-word trigram shared by 10^6 docs makes one 10^12
+    -pair join group. Now pair GENERATION only uses shingles whose
+    document frequency is ≤ _SHINGLE_DF_CAP (a near-dup pair virtually
+    always shares at least one sub-cap shingle), bounding every join
+    group at cap² pairs, while the Jaccard VALUE for each surviving
+    candidate is still computed on the full shingle sets (join back to
+    ``ds``). Oracle mirrors both stages."""
+    ds = _shingles(spark, sf).distinct().persist()
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = ds.alias("a")
-    b = ds.alias("b")
-    pairs = (
+    rare = (
+        ds.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    dsr = ds.join(rare, "shingle")
+    a = dsr.alias("a")
+    b = dsr.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .distinct()
+    )
+    # exact intersection over FULL shingle sets, candidates only
+    xa = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
+    xb = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        cand.join(xa, "doc_a")
+        .join(xb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -1020,45 +1168,88 @@ def q34(spark, sf):
     )
 
 
-@q("q35_ann_ivf_bucketed", None)  # scale path: centroid routing via numpy → rows-only
+IVF_K = 16          # inverted lists (centroids)
+IVF_NPROBE = 6      # lists probed per query → ~nprobe/K of data scanned
+IVF_ITERS = 5       # spherical k-means iterations
+IVF_TRAIN_MAX = 4096  # training sample cap (faiss-style: train on a
+                      # bounded sample however large the corpus is)
+
+
+@q("q35_ann_ivf_bucketed", None)  # iterative k-means → rows-only by design
 def q35(spark, sf):
-    """IVF-style ANN: coarse quantizer = per-label centroids (labels act
-    as the inverted lists); each query searches only its top-2 nearest
-    lists. At 10^10-vector scale the lists are hash-partitioned and the
-    per-list scan is an applyInPandas over co-partitioned data — here
-    the routing table is tiny and broadcast."""
+    """IVF ANN, the scale path for q34: spherical k-means centroids
+    trained on a bounded deterministic sample (first IVF_TRAIN_MAX
+    vec_ids — standard IVF practice: the coarse quantizer trains on
+    ~10^5 samples no matter the corpus size, so the driver holds only
+    K×dim floats), then one distributed pass assigns every vector to
+    its nearest-centroid inverted list (vectorized mapInPandas; at
+    10^10 scale this is computed once at ingest and stored as the
+    list-id partition column), and each query probes only its
+    IVF_NPROBE closest lists — the candidate join keys on the list id,
+    never all-pairs, scanning ~NPROBE/K of the corpus.
+
+    Round 1 routed by the fixture ``label`` column, which is pure noise
+    w.r.t. the embedding geometry — recall@3 was 0.2. Real centroids
+    reach recall@3 = 1.0 (sf0.001) / 0.93 (sf0.01) vs brute-force q34,
+    asserted by tests/test_ann.py (VERDICT.md next-round #9)."""
     import numpy as np
-    import pandas as pd
 
     em = t(spark, sf, "embeddings")
+    train_rows = (
+        em.orderBy("vec_id").limit(IVF_TRAIN_MAX).select("embedding").collect()
+    )
+    train = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in train_rows])
+    cents = train[:IVF_K].copy()
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(IVF_ITERS):
+        a = np.argmax(train @ cents.T, axis=1)
+        for j in range(IVF_K):
+            members = train[a == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cents[j] = c / n
 
-    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(pdf["embedding"].to_numpy()).mean(axis=0)
-        return pd.DataFrame({"label": [int(pdf["label"].iloc[0])], "centroid": [m.tolist()]})
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({
+                "neighbor": pdf["vec_id"].astype("int64"),
+                "cluster": np.argmax(E @ cents.T, axis=1).astype("int32"),
+                "embedding": pdf["embedding"],
+            })
 
-    cents = em.groupBy("label").applyInPandas(
-        centroid, "label int, centroid array<double>"
+    assigned = em.select("vec_id", "embedding").mapInPandas(
+        assign, "neighbor long, cluster int, embedding array<float>"
     )
-    qv = em.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
-    )
-    cdot = F.aggregate(
-        F.zip_with("qe", "centroid", lambda a, b: a.cast("double") * b),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+
+    def route(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            order = np.argsort(-(E @ cents.T), axis=1)[:, :IVF_NPROBE]
+            n = len(pdf)
+            yield pd.DataFrame({
+                "q_id": pdf["vec_id"].astype("int64").repeat(IVF_NPROBE),
+                "cluster": order.reshape(-1).astype("int32"),
+                "qe": pdf["embedding"].repeat(IVF_NPROBE),
+            })
+
     routed = (
-        qv.join(F.broadcast(cents))
-        .select("q_id", "qe", "label", cdot.alias("cscore"))
+        em.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .mapInPandas(route, "q_id long, cluster int, qe array<float>")
     )
-    wr = Window.partitionBy("q_id").orderBy(F.col("cscore").desc(), "label")
-    probe = routed.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= 2)
-    e = em.select(F.col("vec_id").alias("neighbor"), F.col("label"), "embedding")
     dot = F.aggregate(
         F.zip_with("qe", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
     )
     scored = (
-        probe.select("q_id", "qe", "label").join(e, "label")
+        F.broadcast(routed).join(assigned, "cluster")
         .filter(F.col("neighbor") != F.col("q_id"))
         .select("q_id", "neighbor", F.round(dot, 6).alias("cos"))
     )
@@ -1131,13 +1322,13 @@ def q37(spark, sf):
     )
 
 
-@q("q38_token_stats", f"""
+@q("q38_token_stats", """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
-       SUM(CAST(n_chars AS {DEC})) AS total_chars,
-       CAST(SUM(CAST(n_chars AS {DEC})) AS DOUBLE)
-           / SUM(len(string_split(text, ' '))) AS chars_per_token
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE)
+           / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS chars_per_token
 FROM documents
 GROUP BY lang
 """)
@@ -1147,8 +1338,10 @@ def q38(spark, sf):
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(n_tokens).alias("total_tokens"),
-        F.sum(F.col("n_chars").cast(DEC)).alias("total_chars"),
-        (F.sum(F.col("n_chars").cast(DEC)).cast("double") / F.sum(n_tokens)).alias("chars_per_token"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.sum("n_chars").cast("double") / F.sum(n_tokens).cast("double")
+        ).alias("chars_per_token"),
     )
 
 
@@ -1177,7 +1370,7 @@ def q39(spark, sf):
 SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS win_start_us,
        event_type,
        COUNT(*) AS n,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events
 GROUP BY 1, 2
 """)
@@ -1285,15 +1478,22 @@ def q43(spark, sf):
 _SIZE_BUCKETS = ["XS", "S", "M", "L"]
 
 
-@q("q44_pivot", f"""
+@q("q44_pivot", """
 SELECT p_type,
-       SUM(CASE WHEN p_size <= 12 THEN CAST(p_retailprice AS {DEC}) END) AS XS,
-       SUM(CASE WHEN p_size > 12 AND p_size <= 25 THEN CAST(p_retailprice AS {DEC}) END) AS S,
-       SUM(CASE WHEN p_size > 25 AND p_size <= 37 THEN CAST(p_retailprice AS {DEC}) END) AS M,
-       SUM(CASE WHEN p_size > 37 THEN CAST(p_retailprice AS {DEC}) END) AS L
+       COALESCE(CAST(SUM(CASE WHEN p_size <= 12
+           THEN CAST(round(p_retailprice * 100) AS BIGINT) END) AS BIGINT), 0) AS XS,
+       COALESCE(CAST(SUM(CASE WHEN p_size > 12 AND p_size <= 25
+           THEN CAST(round(p_retailprice * 100) AS BIGINT) END) AS BIGINT), 0) AS S,
+       COALESCE(CAST(SUM(CASE WHEN p_size > 25 AND p_size <= 37
+           THEN CAST(round(p_retailprice * 100) AS BIGINT) END) AS BIGINT), 0) AS M,
+       COALESCE(CAST(SUM(CASE WHEN p_size > 37
+           THEN CAST(round(p_retailprice * 100) AS BIGINT) END) AS BIGINT), 0) AS L
 FROM part GROUP BY p_type
 """)
 def q44(spark, sf):
+    """Pivot in integer cents; empty cells coalesced to 0 on both sides
+    (a NULL cell turns the whole pandas column float64 on the DuckDB
+    side — the driver-hash trap again)."""
     p = t(spark, sf, "part")
     bucket = (
         F.when(F.col("p_size") <= 12, "XS")
@@ -1305,23 +1505,29 @@ def q44(spark, sf):
         p.withColumn("bucket", bucket)
         .groupBy("p_type")
         .pivot("bucket", _SIZE_BUCKETS)
-        .agg(F.sum(F.col("p_retailprice").cast(DEC)))
+        .agg(F.sum(cents(F.col("p_retailprice"))))
+        .na.fill(0, subset=_SIZE_BUCKETS)
     )
 
 
-@q("q45_except", """
-SELECT c_custkey FROM customer WHERE c_acctbal > 0
-EXCEPT
-SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+@q("q46_union_by_name", """
+SELECT entity_id, kind FROM (
+    SELECT c_custkey AS entity_id, 'customer' AS kind FROM customer WHERE c_nationkey = 7
+    UNION ALL
+    SELECT s_suppkey AS entity_id, 'supplier' AS kind FROM supplier WHERE s_nationkey = 7
+)
 """)
-def q45(spark, sf):
-    c = t(spark, sf, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
-    o = (
-        t(spark, sf, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select(F.col("o_custkey").alias("c_custkey"))
+def q46(spark, sf):
+    """Registered BEFORE q47-q50 this round: round 1 registered it 51st
+    and the driver's report silently contained only the first 50
+    (VERDICT.md "What's missing" #1)."""
+    c = t(spark, sf, "customer").filter(F.col("c_nationkey") == 7).select(
+        F.col("c_custkey").alias("entity_id"), F.lit("customer").alias("kind")
     )
-    return c.exceptAll(o.distinct()).distinct()
+    s = t(spark, sf, "supplier").filter(F.col("s_nationkey") == 7).select(
+        F.col("s_suppkey").alias("entity_id"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
 
 
 @q("q47_stream_sliding_window", """
@@ -1333,7 +1539,7 @@ WITH starts AS (
     FROM events
 )
 SELECT win_start_us, COUNT(*) AS n,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM starts GROUP BY win_start_us
 """)
 def q47(spark, sf):
@@ -1381,9 +1587,9 @@ def q48(spark, sf):
     )
 
 
-@q("q49_grouping_sets", f"""
+@q("q49_grouping_sets", """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       SUM(CAST(l_quantity AS {DEC})) AS sum_qty
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """)
@@ -1396,23 +1602,37 @@ def q49(spark, sf):
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
         )
     )
 
 
-@q("q46_union_by_name", """
-SELECT entity_id, kind FROM (
-    SELECT c_custkey AS entity_id, 'customer' AS kind FROM customer WHERE c_nationkey = 7
-    UNION ALL
-    SELECT s_suppkey AS entity_id, 'supplier' AS kind FROM supplier WHERE s_nationkey = 7
-)
+@q("q50_text_scan", """
+SELECT CAST(c_custkey % 10 AS BIGINT) AS bucket,
+       COUNT(*) AS n_urls,
+       MIN('http://d' || CAST(c_custkey AS VARCHAR) || '.onion/') AS first_url
+FROM customer
+GROUP BY 1
 """)
-def q46(spark, sf):
-    c = t(spark, sf, "customer").filter(F.col("c_nationkey") == 7).select(
-        F.col("c_custkey").alias("entity_id"), F.lit("customer").alias("kind")
+def q50(spark, sf):
+    """``spark.read.text`` scan surface (SURVEY.md §2.B scans row;
+    VERDICT.md "What's missing" #2). Writes a seed-list-shaped text
+    file (one URL per line) derived from the customer table, ingests it
+    back through ``spark.read.text`` — the A1 production seed path, see
+    ``plans/crawl.py::load_seeds_text`` — and re-derives the keys by
+    parsing the lines; the oracle computes the same directly from the
+    table, so parity proves the text round-trip is lossless."""
+    import tempfile
+
+    c = t(spark, sf, "customer")
+    url = F.concat(
+        F.lit("http://d"), F.col("c_custkey").cast("string"), F.lit(".onion/")
     )
-    s = t(spark, sf, "supplier").filter(F.col("s_nationkey") == 7).select(
-        F.col("s_suppkey").alias("entity_id"), F.lit("supplier").alias("kind")
+    path = tempfile.mkdtemp(prefix="ts_seedtxt_")
+    c.select(url.alias("value")).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    key = F.regexp_extract("value", r"d(\d+)\.onion", 1).cast("long")
+    return lines.groupBy(F.pmod(key, F.lit(10)).alias("bucket")).agg(
+        F.count("*").alias("n_urls"),
+        F.min("value").alias("first_url"),
     )
-    return c.unionByName(s)
