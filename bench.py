@@ -219,24 +219,44 @@ def prepare_graph(spark, cfg, with_pagestore: bool = True) -> str:
     return cache
 
 
-def warmup_crawl(spark, synthetic: bool = False) -> None:
+def warmup_crawl(spark, synthetic: bool = False, like=None) -> None:
     """Untimed mini-crawl: spins up Python UDF workers, JIT-compiles the
     codegen stages, and touches every operator on the timed path
     (including the synthetic-network fetcher when that is the timed
-    fetch path)."""
+    fetch path).
+
+    ``like``: the timed run's GraphConfig. The warmup graph copies its
+    image sizes/codecs so every Python worker allocates AND
+    first-touches its per-(h,w) validation scratch (~110 MB at 256px —
+    operators/fetch.py) and the big-batch Arrow/codegen paths compile
+    BEFORE the timed window. A 16px warmup left all of that cold: the
+    timed wave 0 then paid 24 workers × ~110 MB of concurrent page
+    faults plus cold code paths at once — measured as 60-150 s stalls
+    at local[24] (and much less at local[6]: fewer workers, fewer
+    concurrent faults), which corrupted the N-vs-4N ratio."""
+    from dataclasses import replace
+
     from torscrapper_spark import fixtures
     from torscrapper_spark.operators.fetch import SyntheticPagestore
     from torscrapper_spark.plans import crawl as C
     from torscrapper_spark.sources.tableio import SnapshotStore
 
-    tables = fixtures.generate_all(fixtures.TINY)
+    wcfg = fixtures.TINY
+    if like is not None:
+        wcfg = replace(
+            fixtures.TINY,
+            img_sizes=like.img_sizes,
+            fmts=like.fmts,
+            n_domains=40, pages_per_domain=12, n_seeds=40,
+        )
+    tables = fixtures.generate_all(wcfg)
     tmp = tempfile.mkdtemp(prefix="benchwarm_")
     fixtures.write_parquet(tables, tmp)
     if synthetic:
-        ps = SyntheticPagestore(fixtures.TINY)
+        ps = SyntheticPagestore(wcfg)
     else:
         ps = C.load_pagestore(spark, f"{tmp}/pagestore.parquet")
-    cfg = C.CrawlConfig(max_waves=2, default_budget=3, use_bloom=True,
+    cfg = C.CrawlConfig(max_waves=2, default_budget=8, use_bloom=True,
                         bloom_shards=4, bloom_bits=1 << 14, bloom_k=5)
     C.run_crawl(
         spark,
@@ -357,7 +377,8 @@ def trace_fingerprint(spark, snap_dir: str) -> tuple[int, int]:
     return int(h["n"]), int(h["s"])
 
 
-def fresh_spark(cpus: int, shuffle_partitions: int | None = None):
+def fresh_spark(cpus: int, shuffle_partitions: int | None = None,
+                pretouch: bool = False):
     from pyspark.sql import SparkSession
 
     from torscrapper_spark.session import get_spark
@@ -367,7 +388,22 @@ def fresh_spark(cpus: int, shuffle_partitions: int | None = None):
         active.stop()
     if shuffle_partitions is None:
         shuffle_partitions = max(16, cpus * 2)
-    return get_spark(f"local[{cpus}]", shuffle_partitions=shuffle_partitions)
+    extra = None
+    if pretouch:
+        # commit + fault the whole heap at JVM startup (untimed): this
+        # sandbox VM's first-touch page-fault service rate collapses
+        # under load, and a growing heap was observed injecting
+        # multi-10s stalls into early waves — worse at higher thread
+        # counts (more concurrent faulting), which directly corrupts the
+        # N-vs-4N comparison. -Xmx comes from spark.driver.memory;
+        # matching -Xms + AlwaysPreTouch pins the full heap before the
+        # timed window opens.
+        mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
+        extra = {
+            "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"
+        }
+    return get_spark(f"local[{cpus}]", shuffle_partitions=shuffle_partitions,
+                     extra_conf=extra)
 
 
 def main():
@@ -390,11 +426,16 @@ def main():
         i = sys.argv.index("--one")
         n, out_path = int(sys.argv[i + 1]), sys.argv[i + 2]
         mode = sys.argv[i + 3] if len(sys.argv) > i + 3 else "scaling"
-        spark = fresh_spark(n, shuffle_partitions=64)
+        if mode == "scaling":
+            # synthetic fetch keeps payload in the Python workers; the
+            # JVM only carries keys/verdicts — a small fully-pretouched
+            # heap beats a large lazily-faulted one here
+            os.environ["SPARK_DRIVER_MEM"] = "8g"
+        spark = fresh_spark(n, shuffle_partitions=64, pretouch=True)
         cfg = scaling_graph_cfg() if mode == "scaling" else default_graph_cfg(sf)
         synth = mode == "scaling"
         graph_dir = prepare_graph(spark, cfg, with_pagestore=not synth)
-        warmup_crawl(spark, synthetic=synth)
+        warmup_crawl(spark, synthetic=synth, like=cfg)
         r = run_crawl_bench(
             spark, graph_dir, crawl_cfg_for(mode, buckets_for(cfg)),
             synthetic_cfg=cfg if synth else None,
@@ -470,7 +511,7 @@ def main():
     queries = run_headline_queries(spark, sf_dir)
     cfg = default_graph_cfg(sf)
     graph_dir = prepare_graph(spark, cfg)
-    warmup_crawl(spark)
+    warmup_crawl(spark, like=cfg)
     crawl = run_crawl_bench(spark, graph_dir, crawl_cfg_for("default", buckets_for(cfg)))
     print(json.dumps({
         "metric": "frontier_urls_fetched_deduped_per_sec",
