@@ -156,6 +156,51 @@ def test_image_invariants_on_fetched_pages(spark, tiny_dir, tmp_store_dir):
     assert lossy.filter(F.col("psnr") > 60.0).count() == 0
 
 
+def test_trace_invariant_across_parallelism(spark, tiny_dir, tmp_store_dir):
+    """BASELINE.md's core determinism claim at pytest scale: the same
+    crawl at different shuffle-partition counts produces bit-identical
+    traces (every ordering sits on a total order, so the physical
+    partitioning cannot leak into results)."""
+    import os
+
+    cfg = C.CrawlConfig(
+        max_waves=3, use_bloom=True, bloom_shards=4, bloom_bits=1 << 14
+    )
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a_store = _run_engine(spark, tiny_dir, tmp_store_dir, cfg)
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b_dir = tmp_store_dir + "_p13"
+        os.makedirs(b_dir, exist_ok=True)
+        b_store = _run_engine(spark, tiny_dir, b_dir, cfg)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert _engine_trace(spark, a_store).equals(_engine_trace(spark, b_store))
+
+
+def test_empty_seed_list(spark, tiny_dir, tmp_store_dir):
+    """Zero seeds → zero waves, no crash, clean summary."""
+    import pandas as pd
+
+    empty = spark.createDataFrame(
+        pd.DataFrame({"seq": pd.Series([], dtype="int64"),
+                      "url": pd.Series([], dtype="object")}),
+        "seq long, url string",
+    )
+    store = SnapshotStore(tmp_store_dir)
+    out = C.run_crawl(
+        spark, store,
+        C.load_pagestore(spark, f"{tiny_dir}/pagestore.parquet"),
+        empty,
+        spark.read.parquet(f"{tiny_dir}/robots.parquet"),
+        spark.read.parquet(f"{tiny_dir}/politeness.parquet"),
+        C.CrawlConfig(max_waves=3),
+    )
+    assert out["waves_run"] == 0
+    assert out["fetched_total"] == 0
+
+
 def test_synthetic_fetcher_matches_store_join(
     spark, tiny_tables, tiny_dir, tmp_store_dir
 ):
