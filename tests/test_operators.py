@@ -91,9 +91,13 @@ def test_bloom_no_false_negatives_and_exactness(spark):
     # no false negatives: everything seen must be flagged maybe_seen
     assert probed.loc[truly_seen.values, "maybe_seen"].all()
     # fast path == exact path
-    fast = seen_op.new_candidates(cand_df, seen_df, bloom, shards, use_bloom=True)
+    fast, probe_cache = seen_op.new_candidates(
+        cand_df, seen_df, bloom, shards, use_bloom=True
+    )
     exact = seen_op.exact_new(cand_df, seen_df)
     assert sorted(r.url for r in fast.collect()) == sorted(r.url for r in exact.collect())
+    if probe_cache is not None:
+        probe_cache.unpersist()
 
 
 def test_bloom_incremental_update_covers_both_deltas(spark):

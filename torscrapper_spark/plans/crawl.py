@@ -42,7 +42,7 @@ from ..operators.fetch import (
 )
 from ..operators.links import extract_candidates
 from ..operators.politeness import PRIORITY_COLS, budget_select, robots_gate
-from ..operators.seen import empty_bloom, new_candidates, update_bloom
+from ..operators.seen import empty_bloom, new_candidates, update_bloom, with_pid
 from ..operators.seq import with_global_seq
 from ..sources.tableio import SnapshotStore
 
@@ -163,12 +163,16 @@ def init_state(
 ) -> None:
     """Write the wave-0 snapshot (frontier/seen/bloom) and commit it."""
     canon = canonical_seeds(seeds).persist()
-    seen0 = canon.select(
-        "url_hash", F.lit(0).cast("int").alias("wave_added")
+    # seen deltas are physically bucketed by pid = pmod(url_hash, shards)
+    # — the same sharding the bloom uses — so every later wave's residual
+    # dup-check scan partition-prunes to the touched buckets (seen.py)
+    seen0 = with_pid(
+        canon.select("url_hash", F.lit(0).cast("int").alias("wave_added")),
+        cfg.bloom_shards,
     )
     frontier0 = robots_gate(canon, robots).select(*FRONTIER_COLS)
     store.write(frontier0, "frontier", 0)
-    store.write(seen0, "seen", 0)
+    store.write(seen0, "seen", 0, partition_by="pid")
     if cfg.use_bloom:
         bloom0 = update_bloom(
             empty_bloom(spark, cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k),
@@ -330,10 +334,10 @@ def run_wave(
     candidates = extract_candidates(
         validated.filter(F.col("status") == 200), next_wave=wave + 1
     )
-    new = new_candidates(
+    new, probe_cache = new_candidates(
         candidates, seen, bloom, cfg.bloom_shards, cfg.use_bloom
-    ).persist()
-    probe_cache = getattr(new, "_probe_cache", None)
+    )
+    new = new.persist()
 
     new_counts: dict[str, int] = {}
 
@@ -341,13 +345,19 @@ def run_wave(
         from pyspark.sql import Observation
 
         obs = Observation()
-        # observe() rides the write — n_new costs no separate count job
+        # observe() rides the write — n_new costs no separate count job.
+        # The delta is written bucket-partitioned by pid (same layout as
+        # wave 0) so future waves' residual checks partition-prune.
         store.write(
-            new.select(
-                "url_hash", F.lit(wave + 1).cast("int").alias("wave_added")
+            with_pid(
+                new.select(
+                    "url_hash", F.lit(wave + 1).cast("int").alias("wave_added")
+                ),
+                cfg.bloom_shards,
             ).observe(obs, F.count(F.lit(1)).alias("n")),
             "seen",
             wave + 1,
+            partition_by="pid",
         )
         new_counts["n"] = int(obs.get["n"])
 
@@ -471,6 +481,15 @@ def run_crawl(
                 spark, store, pagestore, robots, politeness, cfg, wave,
                 prev_seen_total=seen_total,
             )
+            # Drain the PREVIOUS wave's outputs+commit before queueing
+            # this one (ADVICE.md r2): at most one overlapped wave is
+            # ever in flight — that bounds the cached `validated`
+            # backlog to one wave — and a failed output write or commit
+            # for wave w raises HERE, before wave w+1's commit is even
+            # submitted, so the manifest sequence can never have a hole
+            # (last_wave() would otherwise resume past a missing wave).
+            while pending:
+                pending.pop(0).result()
             pending.append(bg.submit(
                 lambda fin=finish_outputs, w=wave + 1, i=info: (
                     fin(), store.commit(w, i)

@@ -385,9 +385,15 @@ def q11(spark, sf):
             pdf[pdf["_kind"] == "e"][["event_id", "ts"]]
             .sort_values(["ts", "event_id"])
         )
+        # sort by (ts, event_id): merge_asof(backward) takes the LAST
+        # row ≤ the error's ts, so among equal-ts clicks the largest
+        # event_id wins — exactly the oracle's ORDER BY ts DESC,
+        # event_id DESC rank-1 pick. Sorting by ts alone left equal-ts
+        # winners to partition arrival order (VERDICT.md r2 "What's
+        # wrong" #1: latent nondeterminism).
         clk = (
-            pdf[pdf["_kind"] == "c"][["ts", "value"]]
-            .sort_values("ts", kind="stable")
+            pdf[pdf["_kind"] == "c"][["ts", "event_id", "value"]]
+            .sort_values(["ts", "event_id"], kind="stable")[["ts", "value"]]
         )
         if len(err) == 0:
             return pd.DataFrame(columns=["event_id", "last_click_value", "click_ts_us"])

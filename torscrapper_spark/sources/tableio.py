@@ -31,6 +31,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 class SnapshotStore:
@@ -49,8 +50,38 @@ class SnapshotStore:
         return os.path.join(self.root, table, f"wave={wave}")
 
     # ---- writes ----
-    def write(self, df: DataFrame, table: str, wave: int) -> None:
-        df.write.mode("overwrite").parquet(self.table_path(table, wave))
+    def write(
+        self, df: DataFrame, table: str, wave: int,
+        partition_by: str | None = None,
+    ) -> None:
+        """``partition_by``: physical bucket column (e.g. the seen
+        table's ``pid``) — written as hive-style subdirs so snapshot
+        readers get partition pruning (on Iceberg this is the table's
+        declared ``bucket(N, url_hash)`` partition transform).
+
+        A ``_schema.json`` sidecar (the Iceberg-metadata analogue) is
+        written per table so reads never depend on footer inference —
+        which both saves a footer-read job at scale and keeps an EMPTY
+        partitioned version readable (``partitionBy`` on an empty frame
+        writes zero data files, so inference would fail)."""
+        w = df.write.mode("overwrite")
+        if partition_by is not None:
+            w = w.partitionBy(partition_by)
+        w.parquet(self.table_path(table, wave))
+        sidecar = os.path.join(self.root, table, "_schema.json")
+        if not os.path.exists(sidecar):
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(sidecar))
+            with os.fdopen(fd, "w") as f:
+                f.write(df.schema.json())
+            os.replace(tmp, sidecar)
+
+    def _schema(self, table: str) -> StructType | None:
+        sidecar = os.path.join(self.root, table, "_schema.json")
+        try:
+            with open(sidecar) as f:
+                return StructType.fromJson(json.load(f))
+        except FileNotFoundError:
+            return None  # pre-sidecar store layout: fall back to inference
 
     def commit(self, wave: int, info: dict) -> None:
         """Atomically publish version ``wave`` (manifest is the commit point)."""
@@ -64,17 +95,31 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path(wave))
 
     # ---- reads ----
+    def _reader(self, spark: SparkSession, table: str):
+        r = spark.read
+        schema = self._schema(table)
+        return r.schema(schema) if schema is not None else r
+
     def read(self, spark: SparkSession, table: str, wave: int) -> DataFrame:
-        return spark.read.parquet(self.table_path(table, wave))
+        return self._reader(spark, table).parquet(self.table_path(table, wave))
 
     def read_upto(self, spark: SparkSession, table: str, wave: int) -> DataFrame:
-        """Union of delta versions 0..wave (e.g. the cumulative seen set)."""
+        """Union of delta versions 0..wave (e.g. the cumulative seen set).
+
+        ``basePath`` anchors partition discovery at the table root, so a
+        bucket layout written with ``partition_by`` (seen's ``pid``)
+        surfaces as a partition column and version-pruned reads ALSO get
+        bucket pruning (static or dynamic) in the scan. Versions beyond
+        ``wave`` are excluded by passing explicit per-version paths, not
+        a filter — an uncommitted (crashed) later version's files must
+        stay invisible to resume even though they sit under basePath."""
         paths = [
             self.table_path(table, w)
             for w in range(wave + 1)
             if os.path.isdir(self.table_path(table, w))
         ]
-        return spark.read.parquet(*paths)
+        base = os.path.join(self.root, table)
+        return self._reader(spark, table).option("basePath", base).parquet(*paths)
 
     def read_outputs(self, spark: SparkSession, table: str) -> DataFrame:
         """All committed versions of an output table (trace/pages/metrics)."""
@@ -86,7 +131,7 @@ class SnapshotStore:
             for w in range(last + 1)
             if os.path.isdir(self.table_path(table, w))
         ]
-        return spark.read.parquet(*paths)
+        return self._reader(spark, table).parquet(*paths)
 
     # ---- manifests ----
     def last_wave(self) -> int | None:
