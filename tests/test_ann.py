@@ -21,5 +21,6 @@ def test_ivf_recall_vs_bruteforce(spark):
         for q in bf_sets.index
     ]
     macro_recall = sum(recalls) / len(recalls)
-    # probing 2 of the label lists must recover ≥90% of true top-3
+    # probing IVF_NPROBE=6 of the IVF_K=16 k-means centroid lists
+    # (queries.py q35) must recover ≥90% of the true top-3
     assert macro_recall >= 0.9, f"recall@3 = {macro_recall:.3f} ({recalls})"

@@ -40,3 +40,48 @@ def test_rows_only_queries_run(spark, name):
     fn, _ = _REG[name]
     df = fn(spark, SF_DIR)
     assert df.count() >= 0 and len(df.schema.fields) > 0
+
+
+def test_q11_asof_tiebreak_duplicate_ts(spark, tmp_path):
+    """Equal-ts clicks must deterministically resolve to the largest
+    event_id (oracle's ORDER BY ts DESC, event_id DESC rank-1 pick) —
+    VERDICT.md r2 "What's wrong" #1: sorting clicks by ts alone left
+    the winner to partition arrival order. Rows are inserted with the
+    larger id FIRST so a stable-sort-by-ts-only implementation keeps
+    the wrong row."""
+    import duckdb
+    import pandas as pd
+
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: two clicks at the SAME ts before the error; larger id first
+        (11, ts, 1, "click", 2.0, None),
+        (10, ts, 1, "click", 1.0, None),
+        (100, ts + pd.Timedelta(minutes=5), 1, "error", None, None),
+        # user 2: two clicks at a ts EQUAL to the error's ts (<= include)
+        (23, ts + pd.Timedelta(minutes=9), 2, "click", 7.0, None),
+        (22, ts + pd.Timedelta(minutes=9), 2, "click", 5.0, None),
+        (200, ts + pd.Timedelta(minutes=9), 2, "error", None, None),
+        # user 3: error with no prior click (left-join null row)
+        (300, ts, 3, "error", None, None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    # Spark parquet readers reject TIMESTAMP(NANOS); write micros like testdata
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = str(tmp_path)
+    pdf.to_parquet(f"{d}/events.parquet", index=False)
+    fn, sql = _REG["q11_asof_join"]
+    got = fn(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(sql).df()
+    errs = compare(got, want)
+    assert not errs, errs
+    by_id = got.set_index("event_id")["last_click_value"]
+    assert by_id[100] == 2.0   # id 11 beats id 10 at equal ts
+    assert by_id[200] == 7.0   # id 23 beats id 22 at ts == error ts
+    assert pd.isna(by_id[300])

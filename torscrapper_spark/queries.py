@@ -1627,14 +1627,25 @@ def q50(spark, sf):
     back through ``spark.read.text`` — the A1 production seed path, see
     ``plans/crawl.py::load_seeds_text`` — and re-derives the keys by
     parsing the lines; the oracle computes the same directly from the
-    table, so parity proves the text round-trip is lossless."""
-    import tempfile
+    table, so parity proves the text round-trip is lossless.
+
+    NOTE: building this query EAGERLY writes the text file (overwrite
+    mode) to a deterministic per-sf path under the repo ``.cache`` dir —
+    one reused directory per sf tier, not a leaked mkdtemp per call
+    (ADVICE.md r2)."""
+    import hashlib
+    import os
 
     c = t(spark, sf, "customer")
     url = F.concat(
         F.lit("http://d"), F.col("c_custkey").cast("string"), F.lit(".onion/")
     )
-    path = tempfile.mkdtemp(prefix="ts_seedtxt_")
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache"
+    )
+    os.makedirs(cache, exist_ok=True)
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    path = os.path.join(cache, f"ts_seedtxt_{tag}")
     c.select(url.alias("value")).write.mode("overwrite").text(path)
     lines = spark.read.text(path)
     key = F.regexp_extract("value", r"d(\d+)\.onion", 1).cast("long")
