@@ -29,3 +29,15 @@ def tiny_dir(tiny_tables):
 @pytest.fixture()
 def tmp_store_dir():
     return tempfile.mkdtemp(prefix="tsnap_")
+
+
+@pytest.fixture(scope="session")
+def medium_tables():
+    return fixtures.generate_all(fixtures.MEDIUM)
+
+
+@pytest.fixture(scope="session")
+def medium_dir(medium_tables):
+    d = tempfile.mkdtemp(prefix="tsfx_med_")
+    fixtures.write_parquet(medium_tables, d)
+    return d

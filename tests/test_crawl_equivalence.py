@@ -246,3 +246,40 @@ def test_synthetic_fetcher_matches_store_join(
         ).collect()
     }
     assert j_seen == s_seen
+
+
+@pytest.mark.parametrize(
+    "budget,use_bloom", [(5, True), (2, False)], ids=["b5_bloom", "b2_exact"]
+)
+def test_medium_tier_trace_and_seen_match_golden(
+    spark, medium_tables, medium_dir, tmp_store_dir, budget, use_bloom
+):
+    """SURVEY.md §5.2 item 3 / VERDICT.md r2 next-round #6: the golden
+    matrix's middle tier — fixtures.MEDIUM (150 domains × 40 pages =
+    6000 pages) sits between the 480-page tiny graph and the 500k-page
+    bench graph (where only engine-vs-engine invariance is asserted).
+    2 waves keeps the suite under the runtime budget while still
+    exercising seed wave + link-extraction wave + in-wave dedup +
+    politeness at a graph wide enough to spread over every shard."""
+    t = medium_tables
+    gold = refsim.simulate(
+        t["pagestore"], t["seeds"], t["robots"], t["politeness"],
+        max_waves=2, default_budget=budget,
+    )
+    cfg = C.CrawlConfig(
+        max_waves=2, default_budget=budget, use_bloom=use_bloom,
+        bloom_shards=8, bloom_bits=1 << 16, salt_buckets=4,
+    )
+    store = _run_engine(spark, medium_dir, tmp_store_dir, cfg)
+
+    assert _engine_trace(spark, store).equals(_golden_trace(gold))
+
+    eng_seen = {
+        r.url_hash
+        for r in store.read_upto(spark, "seen", store.last_wave()).collect()
+    }
+    gold_urls = spark.createDataFrame(pd.DataFrame({"url": sorted(gold.seen)}))
+    gold_seen = {
+        r.h for r in gold_urls.select(F.xxhash64("url").alias("h")).collect()
+    }
+    assert eng_seen == gold_seen

@@ -112,3 +112,58 @@ def test_bloom_incremental_update_covers_both_deltas(spark):
     )
     probed = seen_op.probe_bloom(cand, bloom, shards).toPandas()
     assert probed["maybe_seen"].all()
+
+
+def test_seen_scan_partition_prunes_to_positive_pids(spark, tmp_path):
+    """VERDICT.md r2 next-round #3: with the seen table bucket-
+    partitioned by pid, the residual dup-check must SCAN only the
+    buckets the wave's bloom-positives touch. Catalyst DPP declines
+    this join (bare-boolean build-side filter fails isLikelySelective),
+    so new_candidates plants a static ``pid IN (…)`` — assert it shows
+    up as a PartitionFilter on the seen FileScan, and that the result
+    still equals the exact anti-join."""
+    from torscrapper_spark.sources.tableio import SnapshotStore
+
+    shards = 8
+    store = SnapshotStore(str(tmp_path / "snap"))
+    seen_hashes = np.arange(0, 4000, dtype=np.int64)
+    seen_df = seen_op.with_pid(
+        spark.createDataFrame(
+            pd.DataFrame({"url_hash": seen_hashes}), "url_hash long"
+        ),
+        shards,
+    )
+    store.write(seen_df, "seen", 0, partition_by="pid")
+    seen_rd = store.read_upto(spark, "seen", 0)
+    # candidates: two dups (pids 1, 2) + two fresh
+    cand = spark.createDataFrame(
+        pd.DataFrame({
+            "url_hash": np.array([1, 2, 5001, 6002], dtype=np.int64),
+            "url": ["a", "b", "c", "d"],
+        }),
+        "url_hash long, url string",
+    )
+    bloom = seen_op.update_bloom(
+        seen_op.empty_bloom(spark, shards, 1 << 14, 5), seen_df, shards
+    )
+    new, probe_cache = seen_op.new_candidates(
+        cand, seen_rd, bloom, shards, use_bloom=True
+    )
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    # NB: plan toString truncates the Location path, so match on the
+    # FileScan + PartitionFilters shape (the only FileScan in this plan
+    # is the seen snapshot — candidates/bloom are in-memory frames)
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "PartitionFilters:" in ln
+    ]
+    assert scan_lines, plan
+    assert any("pid#" in ln.split("PartitionFilters:")[1]
+               and " IN " in ln.split("PartitionFilters:")[1]
+               for ln in scan_lines), scan_lines
+    exact = seen_op.exact_new(cand, seen_rd.select("url_hash"))
+    assert sorted(r.url for r in new.collect()) == sorted(
+        r.url for r in exact.collect()
+    )
+    if probe_cache is not None:
+        probe_cache.unpersist()

@@ -55,6 +55,9 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     # pandas' own .str machinery performs per element. A fully
     # "vectorized" explode→sort→group-join was measured slower (the
     # group re-join is per-group Python anyway, plus two index sorts).
+    # VERDICT.md r2 next-round #9 offered vectorize-or-waive: WAIVED on
+    # that measurement — this residual .map stays as the explicit,
+    # justified exception to the no-per-row-Python rule.
     sorted_q = query[has_q].map(_sort_query)
     out = scheme + "://" + host + path
     out[has_q] = out[has_q] + "?" + sorted_q

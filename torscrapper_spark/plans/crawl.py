@@ -212,8 +212,10 @@ def run_wave(
     _marks: list[tuple[str, float]] = [("start", time.time())]
 
     def mark(label: str) -> None:
-        if profile:
-            _marks.append((label, time.time()))
+        # always recorded (4 clock reads/wave): the spans feed the
+        # crawl summary's per-wave fixed-vs-scalable decomposition
+        # (VERDICT.md r2 next-round #8); `profile` only gates printing
+        _marks.append((label, time.time()))
 
     frontier = store.read(spark, "frontier", wave)
     seen = store.read_upto(spark, "seen", wave)
@@ -421,6 +423,16 @@ def run_wave(
         "seen_total": int(prev_seen_total) + n_new,
         "fetched": n_fetched,
         "new_urls": n_new,
+        # per-phase wall spans for the wave's state chain; popped (not
+        # committed to the manifest) by run_crawl into the summary —
+        # they decompose each wave into the fetch/join/validate work
+        # that SHOULD scale with cores vs the budget-select + seen/
+        # frontier/bloom state writes whose scheduling+fsync floor does
+        # not (store-join evidence, VERDICT.md r2 next-round #8)
+        "spans": {
+            _marks[i][0]: round(_marks[i][1] - _marks[i - 1][1], 2)
+            for i in range(1, len(_marks))
+        },
     }
 
     def finish_outputs():
@@ -465,6 +477,7 @@ def run_crawl(
     total_fetched = 0
     wave_secs: list[float] = []
     wave_fetched: list[int] = []
+    wave_spans: list[dict] = []
     # Single background worker so output writes + commits stay strictly
     # wave-ordered (the manifest commit point must never reorder) while
     # overlapping with the NEXT wave's fetch. A crash before a pending
@@ -481,6 +494,7 @@ def run_crawl(
                 spark, store, pagestore, robots, politeness, cfg, wave,
                 prev_seen_total=seen_total,
             )
+            wave_spans.append(info.pop("spans", {}))
             # Drain the PREVIOUS wave's outputs+commit before queueing
             # this one (ADVICE.md r2): at most one overlapped wave is
             # ever in flight — that bounds the cached `validated`
@@ -513,4 +527,5 @@ def run_crawl(
         "frontier_left": final["frontier_count"],
         "wave_secs": wave_secs,
         "wave_fetched": wave_fetched,
+        "wave_spans": wave_spans,
     }
