@@ -644,9 +644,17 @@ def main():
         # each leg's single-core tenancy probe), and takes the
         # least-contended (best-efficiency) run of the FIRST pair as
         # the headline — traces must be bit-identical in every run.
-        repeat = _env_int("TS_SCALE_REPEAT", 3)
+        # TS_SCALE_REPEAT accepts one value for all pairs or a
+        # comma-list per pair ("3,1" = 3 repeats of the headline pair,
+        # 1 of the second): a healthy tenancy window is a scarce
+        # resource, and the hard criterion lives on the headline pair.
+        rep_spec = [
+            int(x) for x in
+            str(os.environ.get("TS_SCALE_REPEAT", "3")).split(",")
+        ]
         campaigns = []
-        for n_small in SCALE_NS:
+        for pi, n_small in enumerate(SCALE_NS):
+            repeat = rep_spec[min(pi, len(rep_spec) - 1)]
             ns = (n_small, n_small * 4)
             history, best, best_eff, best_ident = [], None, None, None
             for _ in range(repeat):
@@ -799,12 +807,20 @@ def write_baseline_md(campaigns, ceiling,
         "runs both on the same cores; a real cluster gives N and 4N executors "
         "identical per-executor budgets).",
         "",
-        "Round-3 protocol is FROZEN per VERDICT.md r2 next-round #1: same "
-        "pairs, graph, and fetch path as round 2; every repeat of BOTH pairs "
-        "is published below together with the campaign-time compute-ceiling "
-        "probe. Each leg also logs a single-core zlib tenancy probe "
-        "(ms; healthy phase ≈ 35-60) taken immediately before and after the "
-        "timed crawl, so contended legs are identifiable.",
+        "The measurement protocol stays FROZEN (VERDICT.md r2 next-round #1, "
+        "re-affirmed r3 #1): same pairs, graph, and fetch path; every repeat "
+        "of BOTH pairs is published below together with the campaign-time "
+        "compute-ceiling probe. Each leg also logs a single-core zlib "
+        "tenancy probe (ms; healthy phase ≈ 35-60) taken immediately before "
+        "and after the timed crawl, so contended legs are identifiable. "
+        "Round 4 additionally runs a ROUND-LONG armed watcher "
+        "(tools/probe_watch.py, continuous log BENCH/probe_log_r04.jsonl) "
+        "that fires this campaign the moment the box reads healthy "
+        "(< 65 ms), per VERDICT.md r3 next-round #1. The one engine delta "
+        "vs round 3 is VERDICT.md r3 next-round #2: snapshot writes now "
+        "size their file count from data volume instead of shuffle/cache "
+        "width (plans/crawl.py state_rows_per_file), attacking the measured "
+        "anti-scaling state_chain component.",
         "",
         "Per-wave seconds measure each wave's state-chain latency (fetch → "
         "frontier/seen/bloom committed); output writes (trace/pages/metrics) "
@@ -847,6 +863,42 @@ def write_baseline_md(campaigns, ceiling,
                 f"{h['probe_small_ms']} | {h['probe_big_ms']} | "
                 f"{h['identical']} |"
             )
+    lines += [
+        "",
+        "### Per-phase spans, best run of every pair (VERDICT.md r3 #4)",
+        "",
+        "Seconds per wave; `budget_select` = politeness top-k plan, "
+        "`fetch_validate` = the synthetic fetch + decode + validate that "
+        "SHOULD scale with cores, `state_chain` = seen/frontier/bloom "
+        "snapshot writes + commit bookkeeping. Published for BOTH primary "
+        "pairs so the (6,24) gap is attributed at phase granularity "
+        "instead of narrated:",
+        "",
+        "| pair | master | wave | budget_select | fetch_validate | "
+        "state_chain |",
+        "|---|---|---|---|---|---|",
+    ]
+    for c in campaigns:
+        for n in c["pair"]:
+            for w, sp in enumerate(c["best"][n].get("wave_spans", [])):
+                lines.append(
+                    f"| ({c['pair'][0]},{c['pair'][1]}) | local[{n}] | {w} | "
+                    f"{sp.get('budget_select')} | {sp.get('fetch_validate')} "
+                    f"| {sp.get('state_chain')} |"
+                )
+    for c in campaigns:
+        s, b = c["pair"]
+        spans_s = c["best"][s].get("wave_spans", [])
+        spans_b = c["best"][b].get("wave_spans", [])
+        if spans_s and spans_b:
+            for phase in ("budget_select", "fetch_validate", "state_chain"):
+                tot_s = sum(sp.get(phase) or 0 for sp in spans_s)
+                tot_b = sum(sp.get(phase) or 0 for sp in spans_b)
+                if tot_b > 0:
+                    lines.append(
+                        f"- ({s},{b}) {phase}: {tot_s:.1f}s → {tot_b:.1f}s, "
+                        f"phase efficiency {(tot_s / tot_b) / 4:.2f}"
+                    )
     lines += [
         "",
         "### Compute-ceiling probe (measured at campaign time, no Spark)",

@@ -37,6 +37,18 @@ def medium_tables():
 
 
 @pytest.fixture(scope="session")
+def large_tables():
+    return fixtures.generate_all(fixtures.LARGE)
+
+
+@pytest.fixture(scope="session")
+def large_dir(large_tables):
+    d = tempfile.mkdtemp(prefix="tsfx_lg_")
+    fixtures.write_parquet(large_tables, d)
+    return d
+
+
+@pytest.fixture(scope="session")
 def medium_dir(medium_tables):
     d = tempfile.mkdtemp(prefix="tsfx_med_")
     fixtures.write_parquet(medium_tables, d)

@@ -167,3 +167,65 @@ def test_seen_scan_partition_prunes_to_positive_pids(spark, tmp_path):
     )
     if probe_cache is not None:
         probe_cache.unpersist()
+
+
+def test_bloom_saturation_guard_bounds_fp_rate(spark):
+    """VERDICT.md r3 next-round #3: grow the seen set to 10× the
+    configured shard capacity; the saturation guard must rebuild
+    saturated shards at grown nbits so the measured false-positive rate
+    stays < 2% (and the no-false-negative invariant keeps holding).
+    Without the guard, 10× over-capacity at k=5 saturates the bitmap
+    (fill → ~1.0) and nearly every fresh candidate turns bloom-positive."""
+    shards, nbits0, k = 2, 1 << 10, 5
+    # configured capacity ≈ load 0.3 → nbits*0.3/k ≈ 102 keys/shard;
+    # insert ~10× that (2048 keys over 2 shards) in 8 delta waves
+    rng = np.random.default_rng(23)
+    all_keys = np.unique(
+        rng.integers(0, 1 << 40, 4096, dtype=np.int64)
+    )[:2048]
+    bloom = seen_op.empty_bloom(spark, shards, nbits0, k)
+    seen_so_far = None
+    for w in range(8):
+        delta_keys = all_keys[w * 256:(w + 1) * 256]
+        delta = spark.createDataFrame(
+            pd.DataFrame({"url_hash": delta_keys}), "url_hash long"
+        )
+        seen_prev = seen_so_far if seen_so_far is not None else (
+            spark.createDataFrame(
+                pd.DataFrame({"url_hash": np.array([], dtype=np.int64)}),
+                "url_hash long",
+            )
+        )
+        bloom = seen_op.update_bloom(bloom, delta, shards)
+        bloom = seen_op.grow_saturated_shards(
+            spark, bloom, seen_prev, delta, shards
+        )
+        seen_so_far = seen_prev.unionByName(delta)
+    fills = seen_op.bloom_fill(bloom).collect()
+    # the guard actually fired: shards grew past the configured nbits
+    assert all(r.nbits > nbits0 for r in fills), fills
+    assert all(r.set_bits <= 0.4 * r.nbits for r in fills), fills
+    # no false negatives on every inserted key
+    ins = spark.createDataFrame(
+        pd.DataFrame({
+            "url_hash": all_keys,
+            "url": [f"i{i}" for i in range(len(all_keys))],
+        }),
+        "url_hash long, url string",
+    )
+    probed_in = seen_op.probe_bloom(ins, bloom, shards).toPandas()
+    assert probed_in["maybe_seen"].all()
+    # measured FP rate on 4000 disjoint fresh keys < 2%
+    fresh_keys = np.unique(
+        rng.integers(0, 1 << 40, 8192, dtype=np.int64)
+    )[:4096] + (1 << 41)
+    fresh = spark.createDataFrame(
+        pd.DataFrame({
+            "url_hash": fresh_keys,
+            "url": [f"f{i}" for i in range(len(fresh_keys))],
+        }),
+        "url_hash long, url string",
+    )
+    probed = seen_op.probe_bloom(fresh, bloom, shards).toPandas()
+    fp_rate = float(probed["maybe_seen"].mean())
+    assert fp_rate < 0.02, fp_rate

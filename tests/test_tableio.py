@@ -1,0 +1,123 @@
+"""SnapshotStore layout/compat guarantees (ADVICE.md r3).
+
+Three hazards the round-3 advisor verified empirically:
+  * basePath partition discovery surfaced a synthetic ``wave`` int
+    column on every read_upto frame;
+  * a store with mixed flat/bucketed version layouts (pre-upgrade seen
+    snapshots next to post-upgrade pid-bucketed deltas) crashed
+    read_upto with CONFLICTING_PARTITION_COLUMN_NAMES, breaking the
+    resumable-restart guarantee for upgraded stores;
+  * the ``_schema.json`` sidecar was pinned forever, silently
+    null-filling reads after schema drift.
+"""
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from torscrapper_spark.plans import crawl as C
+from torscrapper_spark.sources.tableio import SnapshotStore
+
+
+def _store(spark, rows_by_wave, partition_by=None):
+    st = SnapshotStore(tempfile.mkdtemp(prefix="tsio_"))
+    for w, pdf in enumerate(rows_by_wave):
+        st.write(
+            spark.createDataFrame(pdf), "seen", w, partition_by=partition_by
+        )
+        st.commit(w, {"n": len(pdf)})
+    return st
+
+
+def _pdf(hashes, wave, with_pid=None):
+    d = {"url_hash": pd.Series(hashes, dtype="int64"),
+         "wave_added": pd.Series([wave] * len(hashes), dtype="int32")}
+    if with_pid is not None:
+        d["pid"] = pd.Series([h % with_pid for h in hashes], dtype="int32")
+    return pd.DataFrame(d)
+
+
+def test_read_upto_returns_declared_columns_only(spark):
+    st = _store(
+        spark, [_pdf([1, 2], 0, with_pid=4), _pdf([5, 6], 1, with_pid=4)],
+        partition_by="pid",
+    )
+    df = st.read_upto(spark, "seen", 1)
+    assert sorted(df.columns) == ["pid", "url_hash", "wave_added"]
+    assert {r.url_hash for r in df.collect()} == {1, 2, 5, 6}
+    # pruning still reaches the scan through the declared pid column
+    assert {r.pid for r in df.filter("pid = 1").collect()} == {1}
+
+
+def test_mixed_layout_falls_back_without_bucket_column(spark):
+    """Pre-upgrade flat versions + post-upgrade bucketed deltas: the
+    union must succeed and must NOT expose a (null-polluted) pid column
+    that would poison ``pid IN`` pruning."""
+    st = _store(spark, [_pdf([1, 2, 3], 0, with_pid=4)], partition_by="pid")
+    # rewrite version 0 to the pre-upgrade flat layout (no pid anywhere)
+    v0 = st.table_path("seen", 0)
+    shutil.rmtree(v0)
+    spark.createDataFrame(_pdf([1, 2, 3], 0)).write.parquet(v0)
+    # post-upgrade delta
+    st.write(
+        spark.createDataFrame(_pdf([7, 8], 1, with_pid=4)), "seen", 1,
+        partition_by="pid",
+    )
+    st.commit(1, {"n": 2})
+    df = st.read_upto(spark, "seen", 1)
+    assert "pid" not in df.columns
+    assert {r.url_hash for r in df.collect()} == {1, 2, 3, 7, 8}
+
+
+def test_sidecar_schema_drift_raises(spark):
+    st = _store(spark, [_pdf([1], 0)])
+    drifted = pd.DataFrame({
+        "url_hash": pd.Series([2], dtype="int64"),
+        "wave_added": pd.Series([1], dtype="int32"),
+        "extra": ["x"],
+    })
+    with pytest.raises(ValueError, match="schema drift"):
+        st.write(spark.createDataFrame(drifted), "seen", 1)
+
+
+def test_resume_after_store_layout_upgrade(spark, tiny_dir, tmp_store_dir):
+    """Crawl-level ADVICE.md r3 (medium): resuming a store whose early
+    seen versions predate the bucketed layout must work — the mixed
+    store loses bucket pruning (exact anti-join path) but must produce
+    the identical trace."""
+    ps = C.load_pagestore(spark, f"{tiny_dir}/pagestore.parquet")
+    seeds = spark.read.parquet(f"{tiny_dir}/seeds.parquet")
+    robots = spark.read.parquet(f"{tiny_dir}/robots.parquet")
+    pol = spark.read.parquet(f"{tiny_dir}/politeness.parquet")
+    full_cfg = C.CrawlConfig(
+        max_waves=3, use_bloom=True, bloom_shards=4, bloom_bits=1 << 14
+    )
+    s_full = SnapshotStore(tempfile.mkdtemp(prefix="tsio_full_"))
+    C.run_crawl(spark, s_full, ps, seeds, robots, pol, full_cfg)
+
+    s_up = SnapshotStore(tmp_store_dir)
+    C.run_crawl(
+        spark, s_up, ps, seeds, robots, pol,
+        C.CrawlConfig(max_waves=1, use_bloom=True, bloom_shards=4,
+                      bloom_bits=1 << 14),
+    )
+    # downgrade every committed seen version to the flat pre-upgrade
+    # layout (data read back and rewritten without any pid)
+    for w in range(s_up.last_wave() + 1):
+        p = s_up.table_path("seen", w)
+        pdf = spark.read.parquet(p).select("url_hash", "wave_added").toPandas()
+        shutil.rmtree(p)
+        spark.createDataFrame(
+            pdf.astype({"url_hash": "int64", "wave_added": "int32"})
+        ).write.parquet(p)
+    C.run_crawl(spark, s_up, ps, seeds, robots, pol, full_cfg)
+
+    def trace(st):
+        return (
+            st.read_outputs(spark, "trace").orderBy("wave", "seq")
+            .select("wave", "seq", "url", "depth", "status").toPandas()
+        )
+
+    assert trace(s_full).equals(trace(s_up))

@@ -1,0 +1,137 @@
+"""Round-long tenancy watcher (VERDICT.md r3 next-round #1).
+
+The round-3 scaling campaign landed entirely inside one multi-hour
+memory-bus-contended tenancy phase (all 24 legs probed 71-96 ms against
+a healthy baseline of ~35-60 ms), so the ≥0.8 N→4N criterion could not
+be measured on a healthy box. The verdict's prescription: keep an armed
+watcher running for the WHOLE round — poll the single-core tenancy
+probe every few minutes, fire the frozen scaling campaign the moment
+the box reads healthy, and publish the continuous probe log either way.
+
+Usage (run detached for the round):
+
+    python tools/probe_watch.py [--interval 240] [--thresh 65]
+
+State files (all under BENCH/):
+  probe_log_r04.jsonl   continuous probe log, one line per poll
+  .watch_armed          arm the trigger; file content = force-fire
+                        deadline (epoch seconds). Absent → log-only.
+  .watch_hold           suppress firing while the operator runs heavy
+                        foreground work (pytest, default bench) whose
+                        own load would corrupt a campaign measurement.
+  scaling_r04_fire<k>.json / .log   campaign stdout/stderr per fire
+
+Fire = the frozen two-pair campaign (`bench.py --scaling`,
+TS_SCALE_NS=4,6) at TS_SCALE_REPEAT=2 — two repeats per pair rather
+than three so a campaign started mid-round still completes inside the
+round; every leg logs its own probes exactly as in round 3. After a
+fire whose headline efficiency is ≥ 0.8 the watcher disarms (the
+criterion is met; further fires would only contend with the driver's
+own benches). Otherwise it stays armed for one more healthy window,
+bounded at 2 fires per round. If the deadline passes with no healthy
+window, it force-fires once so the round still carries same-round
+numbers under the (possibly contended) phase, probes attached.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+BENCH_DIR = os.path.join(REPO, "BENCH")
+LOG = os.path.join(BENCH_DIR, "probe_log_r04.jsonl")
+ARMED = os.path.join(BENCH_DIR, ".watch_armed")
+HOLD = os.path.join(BENCH_DIR, ".watch_hold")
+MAX_FIRES = 2
+
+
+def log_line(**kw) -> None:
+    kw["ts"] = datetime.datetime.now().isoformat(timespec="seconds")
+    with open(LOG, "a") as f:
+        f.write(json.dumps(kw) + "\n")
+
+
+def deadline() -> float | None:
+    try:
+        with open(ARMED) as f:
+            return float(f.read().strip() or "0") or None
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def fire(k: int, probe_ms: float, forced: bool) -> dict | None:
+    out_json = os.path.join(BENCH_DIR, f"scaling_r04_fire{k}.json")
+    out_log = os.path.join(BENCH_DIR, f"scaling_r04_fire{k}.log")
+    env = dict(os.environ)
+    # frozen protocol, time-boxed: 3 repeats of the criterion-bearing
+    # (4,16) pair, 1 of (6,24) for the span-attribution table
+    env.setdefault("TS_SCALE_REPEAT", "3,1")
+    env.setdefault("TS_SCALE_NS", "4,6")
+    log_line(event="campaign_start", fire=k, probe_ms=probe_ms, forced=forced)
+    t0 = time.time()
+    with open(out_json, "w") as jf, open(out_log, "w") as lf:
+        rc = subprocess.call(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+            stdout=jf, stderr=lf, env=env, cwd=REPO,
+        )
+    result = None
+    if rc == 0:
+        try:
+            with open(out_json) as f:
+                result = json.loads(f.read().strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            pass
+    log_line(
+        event="campaign_end", fire=k, rc=rc,
+        wall_min=round((time.time() - t0) / 60, 1),
+        eff=(result or {}).get("value"),
+        probe_after_ms=None,
+    )
+    return result
+
+
+def main() -> None:
+    args = sys.argv[1:]
+
+    def opt(name: str, default: float) -> float:
+        return float(args[args.index(name) + 1]) if name in args else default
+
+    interval = opt("--interval", 240.0)
+    thresh = opt("--thresh", 65.0)
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    from bench import tenancy_probe
+
+    fires = 0
+    log_line(event="watcher_start", interval=interval, thresh=thresh)
+    while True:
+        p = tenancy_probe()
+        armed = os.path.exists(ARMED) and not os.path.exists(HOLD)
+        dl = deadline() if armed else None
+        forced = dl is not None and time.time() >= dl
+        log_line(probe_ms=p, armed=armed, fires=fires)
+        if armed and fires < MAX_FIRES and (p < thresh or forced):
+            # confirm with a second immediate probe — a single healthy
+            # sample inside a contended phase would waste the round's
+            # one good campaign slot (forced fires skip confirmation)
+            p2 = tenancy_probe()
+            log_line(probe_ms=p2, event="confirm", armed=True)
+            if p2 < thresh or forced:
+                fires += 1
+                result = fire(fires, min(p, p2), forced)
+                if forced or (result is not None
+                              and (result.get("value") or 0) >= 0.8):
+                    try:
+                        os.remove(ARMED)
+                    except FileNotFoundError:
+                        pass
+        time.sleep(interval)
+
+
+if __name__ == "__main__":
+    main()

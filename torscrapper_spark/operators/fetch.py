@@ -62,6 +62,23 @@ def fetch_join(selected: DataFrame, pagestore: DataFrame) -> DataFrame:
     join_keys = ["url_hash", "url"]
     if "bucket" in pagestore.columns and "bucket" in selected.columns:
         join_keys = ["bucket", *join_keys]
+        # Static bucket pruning, same rationale as the seen filter
+        # (operators/seen.py): Catalyst's DPP heuristic declines these
+        # broadcast joins (no selective build-side filter), so the
+        # wave's distinct buckets — bounded by min(|wave|, NB), one
+        # tiny job over the caller-persisted `selected` — are planted
+        # as a literal IN that a bucket-partitioned store turns into a
+        # PartitionFilter. A full-width wave (every bucket touched)
+        # degenerates to no pruning, which is exactly the xxhash64
+        # steady state; small/resumed/tail waves prune hard.
+        wave_buckets = [
+            r.bucket for r in selected.select("bucket").distinct().collect()
+        ]
+        pagestore = (
+            pagestore.filter(F.col("bucket").isin(wave_buckets))
+            if wave_buckets
+            else pagestore.filter(F.lit(False))
+        )
     hits = pagestore.join(F.broadcast(selected), join_keys, "inner")
     # 404s: anti-join against the store's KEY columns (column-pruned
     # scan — never re-reads the payload; deriving misses from `hits`

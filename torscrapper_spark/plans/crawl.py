@@ -42,7 +42,13 @@ from ..operators.fetch import (
 )
 from ..operators.links import extract_candidates
 from ..operators.politeness import PRIORITY_COLS, budget_select, robots_gate
-from ..operators.seen import empty_bloom, new_candidates, update_bloom, with_pid
+from ..operators.seen import (
+    empty_bloom,
+    grow_saturated_shards,
+    new_candidates,
+    update_bloom,
+    with_pid,
+)
 from ..operators.seq import with_global_seq
 from ..sources.tableio import SnapshotStore
 
@@ -99,6 +105,23 @@ class CrawlConfig:
     # (VERDICT.md "What's wrong" #3; ADVICE.md) — now a tunable with a
     # default small enough that every bench-scale wave parallelizes.
     trace_single_task_rows: int = 50_000
+    # Snapshot writes size their file count from DATA VOLUME, not task
+    # count (VERDICT.md r3 next-round #2): the measured anti-scaling
+    # component was the per-wave state writes, whose file count used to
+    # track shuffle/cache partitioning — more threads → more small
+    # files → more fsync/commit work on erratic virtio, so state_chain
+    # GREW with parallelism while carrying identical bytes. With width
+    # = ceil(rows / state_rows_per_file), both legs of an (N, 4N) pair
+    # write the same files for the same data, and at 10^10 scale the
+    # width still grows linearly with the frontier. ~150-250 B rows →
+    # ~40-60 MB files at the default.
+    state_rows_per_file: int = 250_000
+
+
+def _file_width(rows: int, cfg: "CrawlConfig") -> int:
+    """Snapshot-write width from row count (see state_rows_per_file)."""
+    return max(1, (int(rows) + cfg.state_rows_per_file - 1)
+               // cfg.state_rows_per_file)
 
 
 def load_pagestore(
@@ -163,14 +186,18 @@ def init_state(
 ) -> None:
     """Write the wave-0 snapshot (frontier/seen/bloom) and commit it."""
     canon = canonical_seeds(seeds).persist()
+    n_canon = canon.count()
+    width = _file_width(n_canon, cfg)
     # seen deltas are physically bucketed by pid = pmod(url_hash, shards)
     # — the same sharding the bloom uses — so every later wave's residual
     # dup-check scan partition-prunes to the touched buckets (seen.py)
     seen0 = with_pid(
         canon.select("url_hash", F.lit(0).cast("int").alias("wave_added")),
         cfg.bloom_shards,
+    ).repartition(min(cfg.bloom_shards, max(width, 1)), "pid")
+    frontier0 = (
+        robots_gate(canon, robots).select(*FRONTIER_COLS).repartition(width)
     )
-    frontier0 = robots_gate(canon, robots).select(*FRONTIER_COLS)
     store.write(frontier0, "frontier", 0)
     store.write(seen0, "seen", 0, partition_by="pid")
     if cfg.use_bloom:
@@ -195,6 +222,7 @@ def run_wave(
     cfg: CrawlConfig,
     wave: int,
     prev_seen_total: int,
+    prev_frontier_count: int,
 ):
     """Execute wave ``wave`` (state w → state w+1 + outputs).
 
@@ -303,14 +331,18 @@ def run_wave(
             seq_cache.unpersist()
 
     def job_pages():
-        # pages snapshot (payload verdicts; html/bytes not persisted)
+        # pages snapshot (payload verdicts; html/bytes not persisted).
+        # coalesce (narrow — no shuffle) bounds the file count to the
+        # data volume; the cache's fetch-width partitioning otherwise
+        # writes one file per core, making output I/O grow with the
+        # master instead of the wave.
         store.write(
             validated.select(
                 F.lit(wave).cast("int").alias("wave"),
                 "url", "url_hash", "image_id", "caption", "fmt", "w", "h",
                 "status", "n_bytes", "decode_ok", "psnr", "psnr_ok",
                 "phash_match", "caption_ok", "valid",
-            ),
+            ).coalesce(_file_width(n_fetched, cfg)),
             "pages",
             wave,
         )
@@ -349,14 +381,20 @@ def run_wave(
         obs = Observation()
         # observe() rides the write — n_new costs no separate count job.
         # The delta is written bucket-partitioned by pid (same layout as
-        # wave 0) so future waves' residual checks partition-prune.
+        # wave 0) so future waves' residual checks partition-prune. The
+        # explicit pid repartition pins the write to ≤ bloom_shards
+        # tasks AND files at any master (r3's layout inherited the
+        # probe pipeline's shuffle width — shards files but a
+        # master-dependent army of empty commit tasks).
         store.write(
             with_pid(
                 new.select(
                     "url_hash", F.lit(wave + 1).cast("int").alias("wave_added")
                 ),
                 cfg.bloom_shards,
-            ).observe(obs, F.count(F.lit(1)).alias("n")),
+            )
+            .repartition(cfg.bloom_shards, "pid")
+            .observe(obs, F.count(F.lit(1)).alias("n")),
             "seen",
             wave + 1,
             partition_by="pid",
@@ -377,6 +415,15 @@ def run_wave(
         )
         inserts = robots_gate(new, robots).select(*FRONTIER_COLS)
         obs = Observation()
+        # Write width tracks the frontier's SIZE (estimated from the
+        # previous count plus this wave's candidate ceiling), not the
+        # shuffle width: r3 pinned this repartition at
+        # spark.sql.shuffle.partitions, so every wave wrote 64 frontier
+        # files for ~20 MB of rows — the dominant state-chain file count
+        # and a per-master constant instead of a per-data one. The
+        # salted hash distribution (hot domains spread over tasks, A17)
+        # is unchanged — only the partition count is sized to the data.
+        width = _file_width(prev_frontier_count + n_fetched * 8, cfg)
         frontier_next = (
             remaining.select(*FRONTIER_COLS)
             .unionByName(inserts)
@@ -384,8 +431,7 @@ def run_wave(
                 "_salt",
                 F.pmod(F.xxhash64("url"), F.lit(cfg.frontier_salt)).cast("int"),
             )
-            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                         "domain", "_salt")
+            .repartition(width, "domain", "_salt")
             .drop("_salt")
             # observe() rides the write job — the commit record's frontier
             # count costs no extra scan of the written snapshot
@@ -397,8 +443,19 @@ def run_wave(
     def job_bloom():
         # delta = the cached `new` DF — identical rows to the seen delta
         # job_seen persists, without waiting on (or re-reading) that write
-        bloom_next = update_bloom(bloom, new, cfg.bloom_shards)
-        store.write(bloom_next, "bloom", wave + 1)
+        bloom_upd = update_bloom(bloom, new, cfg.bloom_shards)
+        # saturation guard persists bloom_upd (popcount job + write
+        # share one computation of the merge); released after the write
+        bloom_final = grow_saturated_shards(
+            spark, bloom_upd, seen, new, cfg.bloom_shards
+        )
+        # bound the snapshot's file count by bitmap BYTES (shards rows of
+        # nbits/8 each): the cogroup merge runs at shuffle width, but the
+        # write needs ~64 MB files, not one file per merge task
+        shard_bytes = cfg.bloom_shards * (cfg.bloom_bits // 8)
+        bloom_width = max(1, shard_bytes // (64 << 20))
+        store.write(bloom_final.repartition(bloom_width), "bloom", wave + 1)
+        bloom_upd.unpersist()
 
     # ---- STATE chain: everything wave w+1 needs. job_seen runs FIRST
     # and alone: its write materializes the cached `new` end-to-end
@@ -493,6 +550,7 @@ def run_crawl(
             info, finish_outputs = run_wave(
                 spark, store, pagestore, robots, politeness, cfg, wave,
                 prev_seen_total=seen_total,
+                prev_frontier_count=frontier_count,
             )
             wave_spans.append(info.pop("spans", {}))
             # Drain the PREVIOUS wave's outputs+commit before queueing

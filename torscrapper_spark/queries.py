@@ -1629,12 +1629,18 @@ def q50(spark, sf):
     parsing the lines; the oracle computes the same directly from the
     table, so parity proves the text round-trip is lossless.
 
-    NOTE: building this query EAGERLY writes the text file (overwrite
-    mode) to a deterministic per-sf path under the repo ``.cache`` dir —
-    one reused directory per sf tier, not a leaked mkdtemp per call
-    (ADVICE.md r2)."""
+    NOTE: the text file is materialized AT MOST ONCE per sf tier: it is
+    written to a private temp dir and atomically renamed into the cache
+    path only if absent (VERDICT.md r3 next-round #7 + ADVICE.md r3 —
+    the eager overwrite-in-place both charged a Spark write job to
+    every query build AND raced concurrent sessions benchmarking the
+    same sf against each other's scans). Reruns and concurrent sessions
+    see either nothing (and write their own tmp) or a complete,
+    immutable directory."""
     import hashlib
     import os
+    import shutil
+    import tempfile
 
     c = t(spark, sf, "customer")
     url = F.concat(
@@ -1646,7 +1652,13 @@ def q50(spark, sf):
     os.makedirs(cache, exist_ok=True)
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     path = os.path.join(cache, f"ts_seedtxt_{tag}")
-    c.select(url.alias("value")).write.mode("overwrite").text(path)
+    if not os.path.isdir(path):
+        tmp = tempfile.mkdtemp(dir=cache, prefix=f"ts_seedtxt_{tag}_tmp")
+        c.select(url.alias("value")).write.mode("overwrite").text(tmp)
+        try:
+            os.rename(tmp, path)  # atomic; loser of a race cleans up
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     lines = spark.read.text(path)
     key = F.regexp_extract("value", r"d(\d+)\.onion", 1).cast("long")
     return lines.groupBy(F.pmod(key, F.lit(10)).alias("bucket")).agg(

@@ -69,19 +69,53 @@ class SnapshotStore:
             w = w.partitionBy(partition_by)
         w.parquet(self.table_path(table, wave))
         sidecar = os.path.join(self.root, table, "_schema.json")
-        if not os.path.exists(sidecar):
+        existing = self._schema(table)
+        if existing is not None:
+            # Schema drift must be LOUD (ADVICE.md r3): a silently
+            # pinned stale sidecar would null-fill old versions and drop
+            # new columns on read. Nullability is excluded — Spark flips
+            # it freely across plan shapes for identical data.
+            want = [(f.name, f.dataType.simpleString()) for f in df.schema]
+            have = [(f.name, f.dataType.simpleString()) for f in existing]
+            if want != have:
+                raise ValueError(
+                    f"schema drift on table '{table}': writer has {want} "
+                    f"but the store's pinned sidecar has {have}; version "
+                    "the table (new name) or migrate the store explicitly"
+                )
+        else:
             fd, tmp = tempfile.mkstemp(dir=os.path.dirname(sidecar))
             with os.fdopen(fd, "w") as f:
-                f.write(df.schema.json())
+                # partition_by is RECORDED (the Iceberg partition-spec
+                # analogue): reads must be able to tell "pid is a bucket
+                # column materialized in dir names" from "pid is data" —
+                # a flat version read under a pid-bearing schema would
+                # otherwise surface all-null pids that silently poison
+                # `pid IN` pruning (the ADVICE.md r3 upgrade bug).
+                json.dump({
+                    "schema": json.loads(df.schema.json()),
+                    "partition_by": partition_by,
+                }, f)
             os.replace(tmp, sidecar)
 
-    def _schema(self, table: str) -> StructType | None:
+    def _table_meta(self, table: str) -> tuple[StructType | None, str | None]:
+        """(declared schema, declared partition column) from the sidecar.
+        Accepts the legacy format (bare schema JSON, no partition spec)."""
         sidecar = os.path.join(self.root, table, "_schema.json")
         try:
             with open(sidecar) as f:
-                return StructType.fromJson(json.load(f))
+                payload = json.load(f)
         except FileNotFoundError:
-            return None  # pre-sidecar store layout: fall back to inference
+            return None, None  # pre-sidecar store: fall back to inference
+        if "schema" in payload and "fields" not in payload:
+            return (
+                StructType.fromJson(payload["schema"]),
+                payload.get("partition_by"),
+            )
+        return StructType.fromJson(payload), None
+
+    def _schema(self, table: str) -> StructType | None:
+        return self._table_meta(table)[0]
 
     def commit(self, wave: int, info: dict) -> None:
         """Atomically publish version ``wave`` (manifest is the commit point)."""
@@ -103,6 +137,18 @@ class SnapshotStore:
     def read(self, spark: SparkSession, table: str, wave: int) -> DataFrame:
         return self._reader(spark, table).parquet(self.table_path(table, wave))
 
+    @staticmethod
+    def _partition_col(path: str) -> str | None:
+        """Detect a hive-style bucket layout (``pid=N`` subdirs) in one
+        version dir; None for a flat part-file layout."""
+        try:
+            for name in os.listdir(path):
+                if "=" in name and os.path.isdir(os.path.join(path, name)):
+                    return name.split("=", 1)[0]
+        except FileNotFoundError:
+            pass
+        return None
+
     def read_upto(self, spark: SparkSession, table: str, wave: int) -> DataFrame:
         """Union of delta versions 0..wave (e.g. the cumulative seen set).
 
@@ -112,14 +158,56 @@ class SnapshotStore:
         bucket pruning (static or dynamic) in the scan. Versions beyond
         ``wave`` are excluded by passing explicit per-version paths, not
         a filter — an uncommitted (crashed) later version's files must
-        stay invisible to resume even though they sit under basePath."""
+        stay invisible to resume even though they sit under basePath.
+
+        Two upgrade/compat hazards handled here (ADVICE.md r3):
+
+        * **Mixed layouts.** A store whose early versions predate the
+          bucketed-delta layout has flat ``wave=N/part-*.parquet`` dirs
+          next to bucketed ``wave=N/pid=M/`` dirs; basePath discovery
+          then fails with CONFLICTING_PARTITION_COLUMN_NAMES. Fallback:
+          read each version rooted at its own dir and union, DROPPING
+          the bucket column entirely — a null bucket value on old rows
+          would make the seen filter's static ``pid IN`` pruning skip
+          them (a correctness bug: false "new" URLs), so a mixed-layout
+          store loudly trades bucket pruning for correctness until it
+          is re-crawled or migrated.
+        * **Synthetic ``wave`` column.** basePath surfaces the version
+          dirs as an inferred ``wave`` int column absent from the
+          declared schema; it is projected away so downstream
+          ``select('*')`` writes and unionByName never embed it.
+        """
         paths = [
             self.table_path(table, w)
             for w in range(wave + 1)
             if os.path.isdir(self.table_path(table, w))
         ]
+        layouts = {self._partition_col(p) for p in paths}
+        schema, declared = self._table_meta(table)
+        # the bucket column: declared in the sidecar's partition spec, or
+        # (legacy sidecar) detected from the version dirs themselves
+        part_col = declared
+        if part_col is None:
+            part_col = next((c for c in layouts if c is not None), None)
+        if part_col is not None and layouts != {part_col}:
+            # ≥1 version lacks the physical bucket layout (pre-upgrade
+            # flat dirs, possibly mixed with bucketed ones): correctness
+            # over pruning — union per-path reads and DROP the bucket
+            # column entirely, because flat versions would surface it as
+            # all-null and a null bucket silently fails `pid IN` pruning
+            out = None
+            for p in paths:
+                df = self._reader(spark, table).parquet(p)
+                cur = out
+                out = df if cur is None else cur.unionByName(
+                    df, allowMissingColumns=True
+                )
+            return out.drop(part_col)
         base = os.path.join(self.root, table)
-        return self._reader(spark, table).option("basePath", base).parquet(*paths)
+        df = self._reader(spark, table).option("basePath", base).parquet(*paths)
+        if schema is not None:
+            return df.select(*schema.fieldNames())
+        return df.drop("wave")  # legacy pre-sidecar store: best effort
 
     def read_outputs(self, spark: SparkSession, table: str) -> DataFrame:
         """All committed versions of an output table (trace/pages/metrics)."""
