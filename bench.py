@@ -669,10 +669,22 @@ def main():
                 })
                 if best_eff is None or e > best_eff:
                     best, best_eff, best_ident = r, e, ident
+                with open(os.path.join(REPO, "BENCH",
+                                       "scaling_partial.json"), "w") as pf:
+                    json.dump(campaigns + [{
+                        "pair": ns, "history": history, "best": best,
+                        "eff": best_eff, "identical": best_ident,
+                    }], pf, indent=1)
             campaigns.append({
                 "pair": ns, "history": history, "best": best,
                 "eff": best_eff, "identical": best_ident,
             })
+            # persist partial campaign state after every pair: a
+            # time-boxed round must keep the completed pairs' evidence
+            # even if a later leg is cut off at the round boundary
+            with open(os.path.join(REPO, "BENCH",
+                                   "scaling_partial.json"), "w") as pf:
+                json.dump(campaigns, pf, indent=1)
 
         head = campaigns[0]
         ceiling = ceiling_probe(
@@ -684,6 +696,12 @@ def main():
             store_results, store_eff, store_identical = run_pair(
                 head["pair"], "store"
             )
+            with open(os.path.join(REPO, "BENCH",
+                                   "scaling_partial_store.json"), "w") as pf:
+                json.dump({
+                    "results": store_results, "eff": store_eff,
+                    "identical": store_identical,
+                }, pf, indent=1)
         submit_info = None
         if with_submit:
             big = head["pair"][1]
