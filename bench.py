@@ -648,10 +648,18 @@ def main():
         # comma-list per pair ("3,1" = 3 repeats of the headline pair,
         # 1 of the second): a healthy tenancy window is a scarce
         # resource, and the hard criterion lives on the headline pair.
-        rep_spec = [
-            int(x) for x in
-            str(os.environ.get("TS_SCALE_REPEAT", "3")).split(",")
-        ]
+        # parse defensively (ADVICE.md r4): a 0/negative entry or an
+        # empty segment ("3,,1", trailing comma) must not leave a pair
+        # with best=None and crash write_baseline_md at the end of an
+        # hours-long campaign — clamp each entry to ≥ 1 and fall back
+        # to the default on any parse failure
+        try:
+            rep_spec = [
+                max(1, int(x)) for x in
+                str(os.environ.get("TS_SCALE_REPEAT", "3")).split(",")
+            ]
+        except ValueError:
+            rep_spec = [3]
         campaigns = []
         for pi, n_small in enumerate(SCALE_NS):
             repeat = rep_spec[min(pi, len(rep_spec) - 1)]

@@ -12,19 +12,22 @@ Usage (run detached for the round):
 
     python tools/probe_watch.py [--interval 240] [--thresh 65]
 
-State files (all under BENCH/):
-  probe_log_r04.jsonl   continuous probe log, one line per poll
+State files (all under BENCH/; <r> = TS_ROUND, default r05):
+  probe_log_<r>.jsonl   continuous probe log, one line per poll
   .watch_armed          arm the trigger; file content = force-fire
                         deadline (epoch seconds). Absent → log-only.
   .watch_hold           suppress firing while the operator runs heavy
                         foreground work (pytest, default bench) whose
                         own load would corrupt a campaign measurement.
-  scaling_r04_fire<k>.json / .log   campaign stdout/stderr per fire
+  scaling_<r>_fire<k>.json / .log   campaign stdout/stderr per fire
 
 Fire = the frozen two-pair campaign (`bench.py --scaling`,
-TS_SCALE_NS=4,6) at TS_SCALE_REPEAT=2 — two repeats per pair rather
-than three so a campaign started mid-round still completes inside the
-round; every leg logs its own probes exactly as in round 3. After a
+TS_SCALE_NS=4,6) at TS_SCALE_REPEAT=3,1 — three repeats of the
+criterion-bearing (4,16) pair, one of (6,24) for the span-attribution
+table (a healthy tenancy window is scarce, and the hard criterion
+lives on the headline pair; the r4 docstring said "2" while fire()
+set "3,1" — ADVICE.md r4); every leg logs its own probes exactly as
+in round 3. After a
 fire whose headline efficiency is ≥ 0.8 the watcher disarms (the
 criterion is met; further fires would only contend with the driver's
 own benches). Otherwise it stays armed for one more healthy window,
@@ -45,7 +48,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 BENCH_DIR = os.path.join(REPO, "BENCH")
-LOG = os.path.join(BENCH_DIR, "probe_log_r04.jsonl")
+ROUND = os.environ.get("TS_ROUND", "r05")
+LOG = os.path.join(BENCH_DIR, f"probe_log_{ROUND}.jsonl")
 ARMED = os.path.join(BENCH_DIR, ".watch_armed")
 HOLD = os.path.join(BENCH_DIR, ".watch_hold")
 MAX_FIRES = 2
@@ -66,8 +70,8 @@ def deadline() -> float | None:
 
 
 def fire(k: int, probe_ms: float, forced: bool) -> dict | None:
-    out_json = os.path.join(BENCH_DIR, f"scaling_r04_fire{k}.json")
-    out_log = os.path.join(BENCH_DIR, f"scaling_r04_fire{k}.log")
+    out_json = os.path.join(BENCH_DIR, f"scaling_{ROUND}_fire{k}.json")
+    out_log = os.path.join(BENCH_DIR, f"scaling_{ROUND}_fire{k}.log")
     env = dict(os.environ)
     # frozen protocol, time-boxed: 3 repeats of the criterion-bearing
     # (4,16) pair, 1 of (6,24) for the span-attribution table

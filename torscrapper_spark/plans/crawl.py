@@ -462,7 +462,8 @@ def run_wave(
         est_fill = 1.0 - math.exp(
             -cfg.bloom_k * (total_keys / cfg.bloom_shards) / cfg.bloom_bits
         )
-        if est_fill >= 0.3:
+        guarded = est_fill >= 0.3
+        if guarded:
             # guard persists bloom_upd (popcount + write share one
             # computation of the merge); released after the write
             bloom_final = grow_saturated_shards(
@@ -476,7 +477,12 @@ def run_wave(
         shard_bytes = cfg.bloom_shards * (cfg.bloom_bits // 8)
         bloom_width = max(1, shard_bytes // (64 << 20))
         store.write(bloom_final.repartition(bloom_width), "bloom", wave + 1)
-        if bloom_final is not bloom_upd:
+        if guarded:
+            # unpersist whenever the guard persisted, INCLUDING the
+            # no-saturation path where bloom_final IS bloom_upd — the
+            # old identity check leaked one cached bloom (shards ×
+            # bitmap bytes) per wave once est_fill stayed ≥ 0.3, which
+            # is permanent after any shard grows (ADVICE.md r4)
             bloom_upd.unpersist()
 
     # ---- STATE chain: everything wave w+1 needs. job_seen runs FIRST

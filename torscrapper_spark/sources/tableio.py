@@ -64,17 +64,15 @@ class SnapshotStore:
         which both saves a footer-read job at scale and keeps an EMPTY
         partitioned version readable (``partitionBy`` on an empty frame
         writes zero data files, so inference would fail)."""
-        w = df.write.mode("overwrite")
-        if partition_by is not None:
-            w = w.partitionBy(partition_by)
-        w.parquet(self.table_path(table, wave))
         sidecar = os.path.join(self.root, table, "_schema.json")
         existing = self._schema(table)
         if existing is not None:
-            # Schema drift must be LOUD (ADVICE.md r3): a silently
-            # pinned stale sidecar would null-fill old versions and drop
-            # new columns on read. Nullability is excluded — Spark flips
-            # it freely across plan shapes for identical data.
+            # Schema drift must be LOUD (ADVICE.md r3) and must be
+            # checked BEFORE the overwrite (ADVICE.md r4: validating
+            # after w.parquet() had already clobbered the version dir
+            # meant a rejected write destroyed committed data on the way
+            # to raising). Nullability is excluded — Spark flips it
+            # freely across plan shapes for identical data.
             want = [(f.name, f.dataType.simpleString()) for f in df.schema]
             have = [(f.name, f.dataType.simpleString()) for f in existing]
             if want != have:
@@ -83,7 +81,11 @@ class SnapshotStore:
                     f"but the store's pinned sidecar has {have}; version "
                     "the table (new name) or migrate the store explicitly"
                 )
-        else:
+        w = df.write.mode("overwrite")
+        if partition_by is not None:
+            w = w.partitionBy(partition_by)
+        w.parquet(self.table_path(table, wave))
+        if existing is None:
             fd, tmp = tempfile.mkstemp(dir=os.path.dirname(sidecar))
             with os.fdopen(fd, "w") as f:
                 # partition_by is RECORDED (the Iceberg partition-spec
