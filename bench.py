@@ -738,6 +738,20 @@ def main():
                 for c in campaigns
             },
             "ceiling_probe_per_proc_ms": ceiling,
+            # ceiling-normalized efficiency, machine-readable per pair
+            # (VERDICT.md r4 next-round #8): the contract ratio above
+            # stays primary; this publishes what share of the box's
+            # concurrently-measured compute ceiling the engine reached,
+            # so the engine's part of the gap is trendable across rounds
+            "eff_vs_ceiling": {
+                f"{c['pair'][0]}_to_{c['pair'][1]}": round(
+                    c["eff"] / (ceiling[c["pair"][0]] / ceiling[c["pair"][1]]),
+                    3,
+                )
+                for c in campaigns
+                if c["pair"][0] in ceiling and c["pair"][1] in ceiling
+                and ceiling[c["pair"][1]] > 0
+            },
         }
         if store_results is not None:
             line["store_join_efficiency"] = round(store_eff, 3)
@@ -824,8 +838,15 @@ def write_baseline_md(campaigns, ceiling,
         "production-shaped mapInPandas fetcher (deterministic page generator "
         "standing in for the network — O(wave) per wave, identical content to "
         "the materialized store; `bench.py --scaling`). Budget-select salting "
-        "is ON (salt_buckets=8: the graph's 25 hot domains hold 30% of "
-        "in-links, so the two-phase A11 skew path runs on the headline).",
+        "is configured (salt_buckets=8) but AUTO-GATED on frontier size "
+        "(CrawlConfig.salt_min_frontier_rows, VERDICT.md r4 next-round #2): "
+        "phase 1 exists to bound a single hot domain's window input, which "
+        "only matters when one domain can hold millions of rows — at this "
+        "bench's ≤10^6-row frontiers the extra window stage was measured as "
+        "pure fixed cost (budget_select phase eff 0.21 at (6,24)), so the "
+        "exact single-phase window runs here; the salted path's semantic "
+        "equality stays pytest-pinned (test_operators + golden tests force "
+        "it with salt_min_frontier_rows=0).",
         f"Protocol per BASELINE.md: same job, same input, N=local[{pair[0]}] "
         f"vs 4N=local[{pair[1]}]; identical config apart from master; AQE "
         "on; untimed warmup crawl before each timed run. N chosen so Python "
@@ -834,24 +855,25 @@ def write_baseline_md(campaigns, ceiling,
         "identical per-executor budgets).",
         "",
         "The measurement protocol stays FROZEN (VERDICT.md r2 next-round #1, "
-        "re-affirmed r3 #1): same pairs, graph, and fetch path; every repeat "
-        "of BOTH pairs is published below together with the campaign-time "
-        "compute-ceiling probe. Each leg also logs a single-core zlib "
-        "tenancy probe (ms; healthy phase ≈ 35-60) taken immediately before "
-        "and after the timed crawl, so contended legs are identifiable. "
-        "Round 4 additionally runs a ROUND-LONG armed watcher "
-        "(tools/probe_watch.py, continuous log BENCH/probe_log_r04.jsonl) "
-        "that fires this campaign the moment the box reads healthy "
-        "(< 65 ms), per VERDICT.md r3 next-round #1. The one engine delta "
-        "vs round 3 is VERDICT.md r3 next-round #2: snapshot writes now "
-        "size their file count from data volume instead of shuffle/cache "
-        "width (plans/crawl.py state_rows_per_file), attacking the measured "
-        "anti-scaling state_chain component.",
+        "re-affirmed r3 #1 and r4 #3): same pairs, graph, and fetch path; "
+        "every repeat of BOTH pairs is published below together with the "
+        "campaign-time compute-ceiling probe. Each leg also logs a "
+        "single-core zlib tenancy probe (ms; healthy phase ≈ 35-60) taken "
+        "immediately before and after the timed crawl, and a ROUND-LONG "
+        "armed watcher (tools/probe_watch.py, continuous log "
+        "BENCH/probe_log_r05.jsonl) fires this campaign the moment the box "
+        "reads healthy (< 65 ms). Engine deltas vs round 4 (VERDICT.md r4 "
+        "next-round #1/#2): the per-wave fixed Spark-action floor dropped "
+        "from ~9 to ~5 (trace/pages/metrics merged into ONE output write, "
+        "the fetch count and bloom-positive pid collect piggybacked on the "
+        "single materialize action — pinned in tests/test_jobfloor.py), and "
+        "budget_select windows are sized to the frontier's rows with the "
+        "salted phase gated (see above).",
         "",
         "Per-wave seconds measure each wave's state-chain latency (fetch → "
-        "frontier/seen/bloom committed); output writes (trace/pages/metrics) "
-        "overlap the next wave and are fully drained inside the reported "
-        "wall time.",
+        "frontier/seen/bloom committed); the combined output write "
+        "(trace ⊇ pages ⊇ metrics) overlaps the next wave and is fully "
+        "drained inside the reported wall time.",
         "",
         "## Primary: synthetic-network fetch (compute-dominant, the 10^10 regime)",
         "",

@@ -55,6 +55,7 @@ def test_trace_and_seen_match_golden(
     cfg = C.CrawlConfig(
         max_waves=3, default_budget=budget, use_bloom=use_bloom,
         bloom_shards=4, bloom_bits=1 << 14, salt_buckets=4,
+        salt_min_frontier_rows=0,  # force the salted phase at tiny scale
     )
     store = _run_engine(spark, tiny_dir, tmp_store_dir, cfg)
 
@@ -91,6 +92,7 @@ def test_large_tier_trace_and_seen_match_golden(
     cfg = C.CrawlConfig(
         max_waves=2, default_budget=5, use_bloom=True,
         bloom_shards=16, bloom_bits=1 << 17, salt_buckets=4,
+        salt_min_frontier_rows=0,  # force the salted phase at this scale
         state_rows_per_file=2_000,  # force multi-file snapshot writes
     )
     store = _run_engine(spark, large_dir, tmp_store_dir, cfg)
@@ -177,7 +179,7 @@ def test_metrics_match_golden_wave_stats(
     )
     store = _run_engine(spark, tiny_dir, tmp_store_dir, cfg)
     m = (
-        store.read_outputs(spark, "metrics")
+        C.read_metrics(spark, store)
         .groupBy("wave")
         .agg(
             F.sum("fetched").alias("fetched"),
@@ -222,13 +224,44 @@ def test_text_seed_ingestion_equivalent(spark, tiny_tables, tiny_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_multi_file_seed_list_equivalent(spark, tiny_tables, tiny_dir):
+    """A1 guard (VERDICT.md r4 next-round #7): a seed list split over
+    TWO text files — with a duplicate URL straddling the file boundary
+    — must canonicalize to the exact frontier the parquet seed table
+    produces. The struct-valued seq (file name, monotonic id) keeps the
+    dedup tiebreak deterministic in "files in path order, lines in file
+    order" even though Spark packs multi-file splits by size."""
+    import os
+    import tempfile
+
+    seeds_pdf = tiny_tables["seeds"].sort_values("seq")
+    urls = list(seeds_pdf["url"])
+    half = len(urls) // 2
+    txt_dir = tempfile.mkdtemp(prefix="tseeds_multi_")
+    with open(os.path.join(txt_dir, "seeds_a.txt"), "w") as f:
+        for u in urls[:half]:
+            f.write(u + "\n")
+        f.write(urls[-1] + "\n")  # dup straddling the boundary
+    with open(os.path.join(txt_dir, "seeds_b.txt"), "w") as f:
+        for u in urls[half:]:
+            f.write(u + "\n")
+        f.write("\n")
+    from_text = C.canonical_seeds(C.load_seeds_text(spark, txt_dir))
+    from_parquet = C.canonical_seeds(
+        spark.read.parquet(f"{tiny_dir}/seeds.parquet")
+    )
+    a = from_text.orderBy("url").toPandas()
+    b = from_parquet.orderBy("url").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_image_invariants_on_fetched_pages(spark, tiny_dir, tmp_store_dir):
     """Every successfully fetched page passes the per-row invariant
     (decode ok, PSNR≥40dB lossy / bit-exact lossless, phash match,
     caption equality — BASELINE.json:15)."""
     cfg = C.CrawlConfig(max_waves=2, use_bloom=False)
     store = _run_engine(spark, tiny_dir, tmp_store_dir, cfg)
-    pages = store.read_outputs(spark, "pages").filter(F.col("status") == 200)
+    pages = C.read_pages(spark, store).filter(F.col("status") == 200)
     n = pages.count()
     assert n > 0
     assert pages.filter(~F.col("valid")).count() == 0
@@ -354,6 +387,7 @@ def test_medium_tier_trace_and_seen_match_golden(
     cfg = C.CrawlConfig(
         max_waves=2, default_budget=budget, use_bloom=use_bloom,
         bloom_shards=8, bloom_bits=1 << 16, salt_buckets=4,
+        salt_min_frontier_rows=0,  # force the salted phase at this scale
     )
     store = _run_engine(spark, medium_dir, tmp_store_dir, cfg)
 

@@ -1,0 +1,184 @@
+"""Cuckoo-filter seen variant (BASELINE.json:6 "cuckoo/bloom";
+VERDICT.md r4 next-round #6): golden-trace equality, no false
+negatives, deletion support, and saturation/degradation behavior."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from torscrapper_spark import refsim
+from torscrapper_spark.operators.cuckoo import (
+    cuckoo_fill,
+    delete_cuckoo,
+    empty_cuckoo,
+    probe_cuckoo,
+    update_cuckoo,
+)
+from torscrapper_spark.plans import crawl as C
+from torscrapper_spark.sources.tableio import SnapshotStore
+
+TRACE_COLS = ["wave", "seq", "url", "depth", "status"]
+
+
+def _trace(spark, store):
+    pdf = (
+        store.read_outputs(spark, "trace").orderBy("wave", "seq").toPandas()
+    )
+    return pdf[TRACE_COLS].astype(
+        {"wave": "int64", "seq": "int64", "depth": "int64", "status": "int64"}
+    ).reset_index(drop=True)
+
+
+def test_cuckoo_crawl_matches_golden_and_bloom(
+    spark, tiny_tables, tiny_dir, tmp_store_dir
+):
+    """The cuckoo-backed crawl must produce the exact golden trace AND
+    the exact trace the bloom-backed crawl produces (the prefilter only
+    changes selectivity, never semantics)."""
+    import os
+    import tempfile
+
+    t = tiny_tables
+    gold = refsim.simulate(
+        t["pagestore"], t["seeds"], t["robots"], t["politeness"],
+        max_waves=3, default_budget=5,
+    )
+    ps = C.load_pagestore(spark, f"{tiny_dir}/pagestore.parquet")
+    seeds = spark.read.parquet(f"{tiny_dir}/seeds.parquet")
+    robots = spark.read.parquet(f"{tiny_dir}/robots.parquet")
+    pol = spark.read.parquet(f"{tiny_dir}/politeness.parquet")
+
+    cuckoo_store = SnapshotStore(tmp_store_dir)
+    C.run_crawl(
+        spark, cuckoo_store, ps, seeds, robots, pol,
+        C.CrawlConfig(
+            max_waves=3, default_budget=5, use_bloom=True,
+            seen_filter="cuckoo", bloom_shards=4, cuckoo_buckets=1 << 10,
+        ),
+    )
+    bloom_dir = tempfile.mkdtemp()
+    bloom_store = SnapshotStore(bloom_dir)
+    C.run_crawl(
+        spark, bloom_store, ps, seeds, robots, pol,
+        C.CrawlConfig(
+            max_waves=3, default_budget=5, use_bloom=True,
+            seen_filter="bloom", bloom_shards=4, bloom_bits=1 << 14,
+        ),
+    )
+    eng = _trace(spark, cuckoo_store)
+    assert eng.equals(
+        gold.trace[TRACE_COLS].astype(
+            {"wave": "int64", "seq": "int64", "depth": "int64",
+             "status": "int64"}
+        ).reset_index(drop=True)
+    )
+    assert eng.equals(_trace(spark, bloom_store))
+    # the filter state table is named after the filter
+    assert os.path.isdir(cuckoo_store.table_path("cuckoo", 0))
+    assert not os.path.isdir(os.path.join(cuckoo_store.root, "bloom"))
+    # seen sets identical
+    c_seen = {
+        r.url_hash
+        for r in cuckoo_store.read_upto(
+            spark, "seen", cuckoo_store.last_wave()
+        ).collect()
+    }
+    b_seen = {
+        r.url_hash
+        for r in bloom_store.read_upto(
+            spark, "seen", bloom_store.last_wave()
+        ).collect()
+    }
+    assert c_seen == b_seen
+
+
+def test_cuckoo_probe_no_false_negatives_and_low_fp(spark):
+    rng = np.random.default_rng(3)
+    keys = rng.integers(-2**62, 2**62, 4000, dtype=np.int64)
+    inserted = pd.DataFrame({"url_hash": keys[:2000]})
+    flt = update_cuckoo(
+        empty_cuckoo(spark, 4, 1 << 9),  # 4 shards × 2048 slots, load ~0.98/4
+        spark.createDataFrame(inserted, "url_hash long"),
+        4,
+    )
+    cand = spark.createDataFrame(
+        pd.DataFrame({"url_hash": keys}), "url_hash long"
+    )
+    probed = probe_cuckoo(cand, flt, 4).toPandas()
+    got = dict(zip(probed["url_hash"], probed["maybe_seen"]))
+    ins = set(inserted["url_hash"].tolist())
+    misses = [k for k in ins if not got[int(k)]]
+    assert not misses, f"false negatives: {misses[:5]}"
+    fresh = [k for k in keys[2000:] if int(k) not in ins]
+    fp = sum(got[int(k)] for k in fresh) / len(fresh)
+    assert fp < 0.02, fp
+
+
+def test_cuckoo_delete_unlearns_without_false_negatives(spark):
+    """Deletion (the capability the bloom lacks — seed revocation):
+    deleted keys may probe either way (fingerprint collisions), but
+    every REMAINING key must still probe positive."""
+    rng = np.random.default_rng(5)
+    keys = rng.integers(-2**62, 2**62, 3000, dtype=np.int64)
+    keep, drop = keys[:2000], keys[2000:]
+    flt = update_cuckoo(
+        empty_cuckoo(spark, 4, 1 << 10),
+        spark.createDataFrame(pd.DataFrame({"url_hash": keys}), "url_hash long"),
+        4,
+    ).persist()
+    flt2 = delete_cuckoo(
+        flt,
+        spark.createDataFrame(pd.DataFrame({"url_hash": drop}), "url_hash long"),
+        4,
+    ).persist()
+    probed = probe_cuckoo(
+        spark.createDataFrame(pd.DataFrame({"url_hash": keep}), "url_hash long"),
+        flt2, 4,
+    ).toPandas()
+    assert probed["maybe_seen"].all(), "delete created a false negative"
+    # occupancy actually dropped by ~|drop| (deletes really cleared slots)
+    used_before = sum(r.used_slots for r in cuckoo_fill(flt).collect())
+    used_after = sum(r.used_slots for r in cuckoo_fill(flt2).collect())
+    assert used_before - used_after >= len(drop) * 0.95
+    flt.unpersist()
+    flt2.unpersist()
+
+
+def test_cuckoo_saturation_guard_rebuilds(spark, tiny_tables, tiny_dir,
+                                           tmp_store_dir):
+    """Shards sized absurdly small (8 buckets × 4 slots = 32 keys/shard
+    for a ~80-key crawl) force degradation/saturation mid-crawl; the
+    guard must rebuild at doubled capacity while the trace stays
+    golden."""
+    t = tiny_tables
+    gold = refsim.simulate(
+        t["pagestore"], t["seeds"], t["robots"], t["politeness"],
+        max_waves=3, default_budget=5,
+    )
+    store = SnapshotStore(tmp_store_dir)
+    C.run_crawl(
+        spark, store,
+        C.load_pagestore(spark, f"{tiny_dir}/pagestore.parquet"),
+        spark.read.parquet(f"{tiny_dir}/seeds.parquet"),
+        spark.read.parquet(f"{tiny_dir}/robots.parquet"),
+        spark.read.parquet(f"{tiny_dir}/politeness.parquet"),
+        C.CrawlConfig(
+            max_waves=3, default_budget=5, use_bloom=True,
+            seen_filter="cuckoo", bloom_shards=4, cuckoo_buckets=8,
+        ),
+    )
+    assert _trace(spark, store).equals(
+        gold.trace[TRACE_COLS].astype(
+            {"wave": "int64", "seq": "int64", "depth": "int64",
+             "status": "int64"}
+        ).reset_index(drop=True)
+    )
+    fills = cuckoo_fill(
+        store.read(spark, "cuckoo", store.last_wave())
+    ).collect()
+    assert any(r.nbuckets > 8 for r in fills), fills
+    assert all(
+        not r.degraded and r.used_slots <= 0.8 * r.nbuckets * 4
+        for r in fills
+    ), fills

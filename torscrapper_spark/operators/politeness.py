@@ -50,12 +50,25 @@ def budget_select(
     politeness: DataFrame,
     default_budget: int,
     salt_buckets: int = 0,
+    width: int = 0,
 ) -> DataFrame:
     """Top-``budget(domain)`` frontier rows per domain in priority order.
 
     Priority = (depth asc, discovered_wave asc, url asc) — the total
     order that defines reference-equivalent crawl ordering
     (BASELINE.json:14).
+
+    ``width > 0`` sizes the window shuffles to the FRONTIER'S row count
+    instead of ``spark.sql.shuffle.partitions`` (VERDICT.md r4
+    next-round #2): an explicit ``repartition(width, keys)`` satisfies
+    the window's ClusteredDistribution, so EnsureRequirements inserts no
+    second conf-width exchange. At bench scale the frontier is ~10^5-10^6
+    rows and a 64-partition window stage was pure per-task overhead that
+    GREW with the master (anti-scaling); with a data-proportional width
+    both legs of an (N, 4N) pair run the same task count for the same
+    rows. Selection is width-independent (row_number over a strict total
+    order within each domain), pinned by the parallelism-invariance
+    tests.
     """
     p = politeness.select("domain", "budget_per_wave")
     f = frontier.join(F.broadcast(p), "domain", "left").withColumn(
@@ -64,14 +77,18 @@ def budget_select(
     ).drop("budget_per_wave")
     if salt_buckets and salt_buckets > 1:
         w1 = Window.partitionBy("domain", "_salt").orderBy(*PRIORITY_COLS)
+        f = f.withColumn(
+            "_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
+        )
+        if width > 0:
+            f = f.repartition(width, "domain", "_salt")
         f = (
-            f.withColumn(
-                "_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int")
-            )
-            .withColumn("_r1", F.row_number().over(w1))
+            f.withColumn("_r1", F.row_number().over(w1))
             .filter(F.col("_r1") <= F.col("_budget"))
             .drop("_salt", "_r1")
         )
+    if width > 0:
+        f = f.repartition(width, "domain")
     w2 = Window.partitionBy("domain").orderBy(*PRIORITY_COLS)
     return (
         f.withColumn("_rk", F.row_number().over(w2))

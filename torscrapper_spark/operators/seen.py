@@ -203,9 +203,13 @@ def grow_saturated_shards(
 
 
 def probe_bloom(
-    candidates: DataFrame, bloom: DataFrame, num_shards: int
+    candidates: DataFrame, bloom: DataFrame, num_shards: int,
+    keep_pid: bool = False,
 ) -> DataFrame:
-    """Adds ``maybe_seen boolean``; False ⇒ definitely not in the seen set."""
+    """Adds ``maybe_seen boolean``; False ⇒ definitely not in the seen set.
+
+    ``keep_pid=True`` retains the shard id column so the caller can
+    derive the positives' bucket set without recomputing the pmod."""
     cols = candidates.columns
     c = with_pid(candidates, num_shards)
     out_schema = ", ".join(
@@ -227,7 +231,48 @@ def probe_bloom(
         .cogroup(bloom.groupBy("pid"))
         .applyInPandas(probe, out_schema)
     )
-    return probed.select(*cols, "maybe_seen")
+    keep = [*cols, "pid"] if keep_pid else cols
+    return probed.select(*keep, "maybe_seen")
+
+
+def new_from_probed(
+    probed: DataFrame,
+    seen: DataFrame,
+    num_shards: int,
+    pos_pids: list[int],
+) -> DataFrame:
+    """Exact new-URL set from an already-probed (and ideally persisted)
+    candidate frame carrying ``pid`` + ``maybe_seen`` (see
+    :func:`probe_bloom` with ``keep_pid=True``) and the pre-collected
+    distinct pids of the bloom positives.
+
+    Split out of :func:`new_candidates` (VERDICT.md r4 next-round #1)
+    so the wave loop can PIGGYBACK the pid collection on the job that
+    first materializes the probe cache — one Spark action instead of
+    a dedicated collect job per wave. Semantics identical: broadcast
+    semi-join of the (pid-pruned) seen scan against the positives,
+    then a broadcast anti-join removes true duplicates; bloom-negative
+    rows pass through untouched (no false negatives)."""
+    drop_cols = ["maybe_seen", "pid"]
+    if "pid" in seen.columns:
+        pos_keys = probed.filter(F.col("maybe_seen")).select("pid", "url_hash")
+        seen_pruned = (
+            seen.filter(F.col("pid").isin(pos_pids))
+            if pos_pids
+            else seen.filter(F.lit(False))
+        )
+        hits = seen_pruned.select("pid", "url_hash").join(
+            F.broadcast(pos_keys), ["pid", "url_hash"], "left_semi"
+        ).select(F.col("url_hash").alias("_seen_hash"))
+    else:
+        hits = seen.select("url_hash").join(
+            F.broadcast(
+                probed.filter(F.col("maybe_seen")).select("url_hash")
+            ),
+            "url_hash", "left_semi",
+        ).select(F.col("url_hash").alias("_seen_hash"))
+    cond = (probed["url_hash"] == hits["_seen_hash"]) & probed["maybe_seen"]
+    return probed.join(F.broadcast(hits), cond, "left_anti").drop(*drop_cols)
 
 
 def new_candidates(
@@ -290,28 +335,17 @@ def new_candidates(
     """
     if not use_bloom or bloom is None:
         return exact_new(candidates, seen), None
-    probed = probe_bloom(candidates, bloom, num_shards).persist()
-    pos = probed.filter(F.col("maybe_seen"))
-    if "pid" in seen.columns:
-        pos_keys = with_pid(pos.select("url_hash"), num_shards)
-        # static bucket pruning (see docstring): collect the positives'
-        # distinct pids from the persisted probe cache and prune the
-        # partitioned seen scan with a literal IN filter
-        pos_pids = [
-            int(r.pid) for r in pos_keys.select("pid").distinct().collect()
-        ]
-        seen_pruned = (
-            seen.filter(F.col("pid").isin(pos_pids))
-            if pos_pids
-            else seen.filter(F.lit(False))
-        )
-        hits = seen_pruned.select("pid", "url_hash").join(
-            F.broadcast(pos_keys), ["pid", "url_hash"], "left_semi"
-        ).select(F.col("url_hash").alias("_seen_hash"))
-    else:
-        hits = seen.select("url_hash").join(
-            F.broadcast(pos.select("url_hash")), "url_hash", "left_semi"
-        ).select(F.col("url_hash").alias("_seen_hash"))
-    cond = (probed["url_hash"] == hits["_seen_hash"]) & probed["maybe_seen"]
-    out = probed.join(F.broadcast(hits), cond, "left_anti").drop("maybe_seen")
+    probed = probe_bloom(candidates, bloom, num_shards, keep_pid=True).persist()
+    # static bucket pruning (see docstring): collect the positives'
+    # distinct pids from the persisted probe cache and prune the
+    # partitioned seen scan with a literal IN filter. The wave loop
+    # piggybacks this collect on the probe cache's first
+    # materialization via F.collect_set (plans/crawl.py); here it is a
+    # dedicated tiny job for API simplicity.
+    pos_pids = [
+        int(r.pid)
+        for r in probed.filter(F.col("maybe_seen"))
+        .select("pid").distinct().collect()
+    ]
+    out = new_from_probed(probed, seen, num_shards, pos_pids)
     return out, probed

@@ -15,12 +15,22 @@ Wave w dataflow (all lazy until the snapshot writes):
        │                           └──anti-join──┐     decode_validate
        │                                         │           │
        │              trace_w ◀──with_global_seq─┼───────────┤
-       │                                         │     extract_candidates
-       │                                         │           │
+       │              (one combined output:      │     extract_candidates
+       │               seq + page verdicts +     │           │
+       │               partition_id lineage)     │           │
        │                          new = candidates ∖ seen (bloom-accelerated)
        │                                         │
   frontier_{w+1} = (frontier_w ∖ selected) ∪ robots_gate(new)   [salted]
   seen_{w+1}    += new            bloom_{w+1} = bloom_w | bits(new)
+
+Per-wave Spark actions are a deliberately minimal FIVE on the steady
+path (VERDICT.md r4 next-round #1 — the fixed per-wave job floor is
+the scale-killer class at high parallelism): one materialize job
+(fetch+validate+probe, with the fetch count riding an observe() and
+the bloom-positive pid collect riding the same action), the seen /
+frontier / bloom state writes, and one combined output write
+(trace ⊇ pages ⊇ metrics; see :func:`read_pages` /
+:func:`read_metrics`).
 """
 
 from __future__ import annotations
@@ -42,10 +52,18 @@ from ..operators.fetch import (
 )
 from ..operators.links import extract_candidates
 from ..operators.politeness import PRIORITY_COLS, budget_select, robots_gate
+from ..operators.cuckoo import (
+    empty_cuckoo,
+    grow_saturated_cuckoo,
+    probe_cuckoo,
+    update_cuckoo,
+)
 from ..operators.seen import (
     empty_bloom,
+    exact_new,
     grow_saturated_shards,
-    new_candidates,
+    new_from_probed,
+    probe_bloom,
     update_bloom,
     with_pid,
 )
@@ -86,6 +104,40 @@ PAGESTORE_COLS = [
     "caption", "ref_caption", "phash", "ref_bytes", "html",
 ]
 
+# page-verdict columns carried by the combined `trace` output table
+# (one physical write per wave — VERDICT.md r4 next-round #1)
+PAGE_COLS = [
+    "wave", "url", "url_hash", "image_id", "caption", "fmt", "w", "h",
+    "status", "n_bytes", "decode_ok", "psnr", "psnr_ok",
+    "phash_match", "caption_ok", "valid",
+]
+
+
+def read_pages(spark: SparkSession, store: "SnapshotStore") -> DataFrame:
+    """Per-page fetch/validation verdicts across all committed waves —
+    a column selection of the combined ``trace`` output table."""
+    return store.read_outputs(spark, "trace").select(*PAGE_COLS)
+
+
+def read_metrics(spark: SparkSession, store: "SnapshotStore") -> DataFrame:
+    """Per-partition lineage + metrics (A18) across all committed waves,
+    rolled up from the combined ``trace`` table's ``partition_id``
+    lineage column (captured from the wave's verdict cache before the
+    trace sort reshuffles rows)."""
+    tr = store.read_outputs(spark, "trace")
+    return (
+        tr.groupBy("wave", "partition_id")
+        .agg(
+            F.count("*").alias("fetched"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("missing"),
+            F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("decoded"),
+            F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("valid_rows"),
+            F.sum("n_bytes").alias("bytes"),
+            F.min(F.when(F.col("status") == 200, F.col("psnr"))).alias("psnr_min"),
+        )
+    )
+
 
 @dataclass(frozen=True)
 class CrawlConfig:
@@ -95,6 +147,14 @@ class CrawlConfig:
     bloom_shards: int = 8
     bloom_bits: int = 1 << 16     # per shard; size for ~14 bits/key at scale
     bloom_k: int = 5
+    # which probabilistic prefilter backs the seen check when use_bloom
+    # is on: "bloom" (operators/seen.py) or "cuckoo" (operators/
+    # cuckoo.py — adds deletion for seed revocation; BASELINE.json:6
+    # "partitioned cuckoo/bloom"). Same pid sharding, same exact
+    # residual, same snapshot lifecycle; the state table is named after
+    # the filter.
+    seen_filter: str = "bloom"
+    cuckoo_buckets: int = 1 << 12  # per shard; 4 slots each
     salt_buckets: int = 0         # >1 enables two-phase budget top-k
     frontier_salt: int = 8        # salted repartition width (A17)
     pagestore_buckets: int = 0    # >0: pagestore is bucket-partitioned (DPP)
@@ -105,6 +165,22 @@ class CrawlConfig:
     # (VERDICT.md "What's wrong" #3; ADVICE.md) — now a tunable with a
     # default small enough that every bench-scale wave parallelizes.
     trace_single_task_rows: int = 50_000
+    # Salted phase-1 budget top-k only engages above this frontier row
+    # count (VERDICT.md r4 next-round #2): phase 1 exists to bound a
+    # single hot domain's window input, which only matters when one
+    # domain can hold millions of rows — below this threshold the extra
+    # (domain, salt) window stage is pure fixed cost that dilutes
+    # scaling efficiency (measured: budget_select phase eff 0.21 at
+    # (6,24)). Selection is provably identical either way (phase 1
+    # keeps a superset of every domain's true top-budget; pytest pins
+    # salted == exact and the golden tests force the salted path with
+    # salt_min_frontier_rows=0).
+    salt_min_frontier_rows: int = 5_000_000
+    # budget_select window shuffle width = ceil(frontier_rows / this):
+    # data-proportional like state_rows_per_file, so both legs of an
+    # (N, 4N) pair run the same window task count for the same rows
+    # instead of spark.sql.shuffle.partitions empty-ish tasks.
+    select_rows_per_task: int = 400_000
     # Snapshot writes size their file count from DATA VOLUME, not task
     # count (VERDICT.md r3 next-round #2): the measured anti-scaling
     # component was the per-wave state writes, whose file count used to
@@ -146,18 +222,32 @@ def load_pagestore(
 
 
 def load_seeds_text(spark: SparkSession, path: str) -> DataFrame:
-    """A1 seed ingestion from a plain seed-list text file (one URL per
-    line) via ``spark.read.text`` — the reference's seed source shape
-    (SURVEY.md §2.A A1; VERDICT.md "What's missing" #2). ``seq`` is
-    ``monotonically_increasing_id()``: partition-indexed by file-split
-    offset, so it increases in file order for a given input; it is only
-    consumed as the duplicate-seed tiebreak (min seq wins in
-    :func:`canonical_seeds`), where any order-preserving value yields
-    the same canonical frontier. Blank lines are dropped."""
+    """A1 seed ingestion from a plain seed-list text file or directory
+    of files (one URL per line) via ``spark.read.text`` — the
+    reference's seed source shape (SURVEY.md §2.A A1).
+
+    ``seq`` is only consumed as the duplicate-seed tiebreak (min seq
+    wins in :func:`canonical_seeds`), so any order-preserving value
+    yields the same canonical frontier. A bare
+    ``monotonically_increasing_id`` is NOT order-preserving across
+    files — Spark packs file splits into partitions sorted by size,
+    not name — so a multi-file seed list could silently flip tiebreaks
+    (VERDICT.md r4 next-round #7). ``seq`` is therefore a struct
+    ``(input_file_name, monotonic id)``: ``F.min`` over a struct is
+    lexicographic, giving "files in path order, lines in file order"
+    deterministically with zero extra jobs. Within one file the
+    monotonic id follows line order as long as the file maps to one
+    split (≤ ``spark.sql.files.maxPartitionBytes``, 128 MB default —
+    far above any real seed list's size; a bigger list should arrive
+    as multiple files, which this ordering handles). Blank lines are
+    dropped."""
     return (
         spark.read.text(path)
         .select(
-            F.monotonically_increasing_id().alias("seq"),
+            F.struct(
+                F.input_file_name().alias("f"),
+                F.monotonically_increasing_id().alias("m"),
+            ).alias("seq"),
             F.trim(F.col("value")).alias("url"),
         )
         .filter(F.length("url") > 0)
@@ -201,12 +291,22 @@ def init_state(
     store.write(frontier0, "frontier", 0)
     store.write(seen0, "seen", 0, partition_by="pid")
     if cfg.use_bloom:
-        bloom0 = update_bloom(
-            empty_bloom(spark, cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k),
-            store.read(spark, "seen", 0),
-            cfg.bloom_shards,
-        )
-        store.write(bloom0, "bloom", 0)
+        if cfg.seen_filter == "cuckoo":
+            flt0 = update_cuckoo(
+                empty_cuckoo(spark, cfg.bloom_shards, cfg.cuckoo_buckets),
+                store.read(spark, "seen", 0),
+                cfg.bloom_shards,
+            )
+            store.write(flt0, "cuckoo", 0)
+        else:
+            bloom0 = update_bloom(
+                empty_bloom(
+                    spark, cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k
+                ),
+                store.read(spark, "seen", 0),
+                cfg.bloom_shards,
+            )
+            store.write(bloom0, "bloom", 0)
     n_frontier = store.read(spark, "frontier", 0).count()
     n_seen = store.read(spark, "seen", 0).count()
     canon.unpersist()
@@ -247,10 +347,28 @@ def run_wave(
 
     frontier = store.read(spark, "frontier", wave)
     seen = store.read_upto(spark, "seen", wave)
-    bloom = store.read(spark, "bloom", wave) if cfg.use_bloom else None
+    # `flt` is whichever probabilistic prefilter the config selected
+    # (bloom bitmaps or cuckoo fingerprint tables — same pid sharding,
+    # same snapshot lifecycle, state table named after the filter)
+    flt = (
+        store.read(spark, cfg.seen_filter, wave) if cfg.use_bloom else None
+    )
 
+    # salted phase-1 gate + data-proportional window width (see the
+    # CrawlConfig field docs); both are pure physical-plan choices —
+    # the selected set is identical at any (salt, width)
+    salt = (
+        cfg.salt_buckets
+        if prev_frontier_count >= cfg.salt_min_frontier_rows
+        else 0
+    )
+    sel_width = max(
+        1,
+        (int(prev_frontier_count) + cfg.select_rows_per_task - 1)
+        // cfg.select_rows_per_task,
+    )
     selected = budget_select(
-        frontier, politeness, cfg.default_budget, cfg.salt_buckets
+        frontier, politeness, cfg.default_budget, salt, width=sel_width
     )
     if cfg.pagestore_buckets > 0 and isinstance(pagestore, DataFrame):
         selected = selected.withColumn(
@@ -289,35 +407,89 @@ def run_wave(
     # overheads for a few hundred KB of data. The verdict rows are ~1 KB
     # (no image payload), so this extra shuffle is a few hundred MB at
     # most.
+    from pyspark.sql import Observation
+
+    # ONE materialize action on the wave's critical path (VERDICT.md r4
+    # next-round #1 — the old layout paid a dedicated count job PLUS a
+    # dedicated pid-collect job per wave, pure scheduler floor that
+    # never shrank with cores): on the bloom path the pid collect IS
+    # the materialize job — fetch + validate + extract + probe run
+    # end-to-end exactly once, filling both caches, and the collect is
+    # bounded by the shard count (~200 small ints at 10^10 scale). The
+    # fetch-row count is NOT needed by the state chain at all — it is
+    # taken from the warm cache inside the background output job (a
+    # partition-count scan, no recompute) and lands in the manifest via
+    # the ordered commit.
     validated = validated.repartition(
         spark.sparkContext.defaultParallelism
     ).persist()
-    n_fetched = validated.count()
+
+    # link extraction → candidates (deduped, min-depth) → truly new URLs
+    candidates = extract_candidates(
+        validated.filter(F.col("status") == 200), next_wave=wave + 1
+    )
+    if cfg.use_bloom:
+        probe = probe_cuckoo if cfg.seen_filter == "cuckoo" else probe_bloom
+        probed = probe(
+            candidates, flt, cfg.bloom_shards, keep_pid=True
+        ).persist()
+        pos_pids = [
+            int(r.pid)
+            for r in probed.filter(F.col("maybe_seen"))
+            .select("pid").distinct().collect()
+        ]
+        new = new_from_probed(probed, seen, cfg.bloom_shards, pos_pids)
+        probe_cache = probed
+    else:
+        # exact path: no probe stage — the first action over the
+        # caches is job_seen's write itself (fetch span folds into
+        # state_chain; tests-only path)
+        probe_cache = None
+        new = exact_new(candidates, seen)
+    new = new.persist()
     mark("fetch_validate")
 
-    # ---- everything below the fetch runs as ONE concurrent batch of
-    # independent jobs over the cached `validated` (submitted from
-    # driver threads at the end of this function; Spark schedules them
-    # together so fixed costs overlap instead of stacking serially) ----
-
-    def job_trace():
-        # trace (A20): global priority order within the wave, seq
-        # 1-based. Adaptive: a small wave (n_fetched is already known
-        # here) sorts in one window task — one job, no
-        # range-sampler/count mini-jobs; anything above the configured
-        # threshold uses the scalable range-partitioned sequence
-        # operator (cfg.trace_single_task_rows, default 50k).
+    def job_outputs():
+        # ONE combined output write per wave (VERDICT.md r4 next-round
+        # #1; was three: trace + pages + metrics over the same cache).
+        # The physical table is `trace` carrying the full page-verdict
+        # columns plus a `partition_id` lineage column (A18/A20):
+        # :func:`read_pages` is a column selection of it and
+        # :func:`read_metrics` a per-(wave, partition_id) rollup — same
+        # information, two fewer Spark jobs and two fewer fsync'd
+        # directories per wave. seq (A20): global priority order within
+        # the wave, 1-based. Adaptive: a small wave sorts in one window
+        # task; larger waves use the scalable range-partitioned
+        # sequence operator, sized so each sort task stays under the
+        # single-task threshold (data-proportional file count).
         from pyspark.sql import Window
 
+        # trivial on the warm cache (partition-count scan, no
+        # recompute): the state chain already materialized every
+        # partition, and this job runs overlapped with the next wave's
+        # fetch, off the critical path
+        n_fetched = validated.count()
         base = validated.select(
-            "url", "url_hash", "depth", "discovered_wave", "status"
+            "url", "url_hash", "depth", "discovered_wave", "status",
+            "image_id", "caption", "fmt", "w", "h", "n_bytes",
+            "decode_ok", "psnr", "psnr_ok", "phash_match", "caption_ok",
+            "valid", F.spark_partition_id().alias("partition_id"),
         )
         seq_cache = None
         if n_fetched <= cfg.trace_single_task_rows:
             w = Window.orderBy(*PRIORITY_COLS)
             trace = base.withColumn("seq", F.row_number().over(w))
         else:
-            trace = with_global_seq(base, PRIORITY_COLS)
+            # each range-sort task carries ≤ the single-task threshold
+            # of rows: the job's cost (and file count) tracks the
+            # wave's data at every master, not the core count — it
+            # overlaps the next wave's fetch either way
+            n_parts = (
+                (n_fetched + cfg.trace_single_task_rows - 1)
+                // cfg.trace_single_task_rows
+            )
+            trace = with_global_seq(base, PRIORITY_COLS,
+                                    num_partitions=n_parts)
             seq_cache = getattr(trace, "_seq_cache")
         trace_out = trace.select(
             F.lit(wave).cast("int").alias("wave"),
@@ -325,59 +497,18 @@ def run_wave(
             "url", "url_hash",
             F.col("depth").cast("int").alias("depth"),
             F.col("status").cast("int").alias("status"),
+            "image_id", "caption", "fmt", "w", "h", "n_bytes",
+            "decode_ok", "psnr", "psnr_ok", "phash_match", "caption_ok",
+            "valid", "partition_id",
         )
         store.write(trace_out, "trace", wave)
         if seq_cache is not None:
             seq_cache.unpersist()
-
-    def job_pages():
-        # pages snapshot (payload verdicts; html/bytes not persisted).
-        # coalesce (narrow — no shuffle) bounds the file count to the
-        # data volume; the cache's fetch-width partitioning otherwise
-        # writes one file per core, making output I/O grow with the
-        # master instead of the wave.
-        store.write(
-            validated.select(
-                F.lit(wave).cast("int").alias("wave"),
-                "url", "url_hash", "image_id", "caption", "fmt", "w", "h",
-                "status", "n_bytes", "decode_ok", "psnr", "psnr_ok",
-                "phash_match", "caption_ok", "valid",
-            ).coalesce(_file_width(n_fetched, cfg)),
-            "pages",
-            wave,
-        )
-
-    def job_metrics():
-        # per-partition lineage + metrics (A18)
-        metrics = (
-            validated.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count("*").alias("fetched"),
-                F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
-                F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("missing"),
-                F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("decoded"),
-                F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("valid_rows"),
-                F.sum("n_bytes").alias("bytes"),
-                F.min(F.when(F.col("status") == 200, F.col("psnr"))).alias("psnr_min"),
-            )
-            .withColumn("wave", F.lit(wave).cast("int"))
-        )
-        store.write(metrics, "metrics", wave)
-
-    # link extraction → candidates (deduped, min-depth) → truly new URLs
-    candidates = extract_candidates(
-        validated.filter(F.col("status") == 200), next_wave=wave + 1
-    )
-    new, probe_cache = new_candidates(
-        candidates, seen, bloom, cfg.bloom_shards, cfg.use_bloom
-    )
-    new = new.persist()
+        return n_fetched
 
     new_counts: dict[str, int] = {}
 
     def job_seen():
-        from pyspark.sql import Observation
-
         obs = Observation()
         # observe() rides the write — n_new costs no separate count job.
         # The delta is written bucket-partitioned by pid (same layout as
@@ -406,8 +537,6 @@ def run_wave(
     def job_frontier():
         # frontier_{w+1}: remaining ∪ robots-allowed new links, salted
         # repartition on (domain, salt) → hot domains spread over tasks (A17)
-        from pyspark.sql import Observation
-
         # broadcast the (politeness-bounded) selected keys so the
         # frontier state table is scanned, never shuffled, for removal
         remaining = frontier.join(
@@ -415,15 +544,16 @@ def run_wave(
         )
         inserts = robots_gate(new, robots).select(*FRONTIER_COLS)
         obs = Observation()
-        # Write width tracks the frontier's SIZE (estimated from the
-        # previous count plus this wave's candidate ceiling), not the
-        # shuffle width: r3 pinned this repartition at
+        # Write width tracks the frontier's SIZE (previous count plus
+        # this wave's exact new-URL count — job_seen has already
+        # finished, so n_new is known driver-side), not the shuffle
+        # width: r3 pinned this repartition at
         # spark.sql.shuffle.partitions, so every wave wrote 64 frontier
         # files for ~20 MB of rows — the dominant state-chain file count
         # and a per-master constant instead of a per-data one. The
         # salted hash distribution (hot domains spread over tasks, A17)
         # is unchanged — only the partition count is sized to the data.
-        width = _file_width(prev_frontier_count + n_fetched * 8, cfg)
+        width = _file_width(prev_frontier_count + new_counts["n"], cfg)
         frontier_next = (
             remaining.select(*FRONTIER_COLS)
             .unionByName(inserts)
@@ -440,12 +570,37 @@ def run_wave(
         store.write(frontier_next, "frontier", wave + 1)
         frontier_counts["n"] = int(obs.get["n"])
 
-    def job_bloom():
+    def job_filter_cuckoo():
+        # cuckoo twin of job_filter_bloom: insert the delta, guard on a
+        # driver-side load estimate (cfg.cuckoo_buckets UNDERestimates
+        # capacity once shards have grown, so post-saturation waves keep
+        # the exact occupancy check — conservative), rebuild saturated
+        # or degraded shards from the pruned seen scan at doubled size.
+        # A shard that degraded below the gate stays correctness-safe
+        # (its probe answers all-true → exact fallback) until the gate
+        # fires and rebuilds it.
+        upd = update_cuckoo(flt, new, cfg.bloom_shards)
+        total_keys = int(prev_seen_total) + new_counts["n"]
+        est_load = total_keys / (cfg.bloom_shards * cfg.cuckoo_buckets * 4)
+        guarded = est_load >= 0.6
+        if guarded:
+            final = grow_saturated_cuckoo(
+                spark, upd, seen, new, cfg.bloom_shards
+            )
+        else:
+            final = upd
+        shard_bytes = cfg.bloom_shards * cfg.cuckoo_buckets * 8
+        width = max(1, shard_bytes // (64 << 20))
+        store.write(final.repartition(width), "cuckoo", wave + 1)
+        if guarded:
+            upd.unpersist()
+
+    def job_filter_bloom():
         import math
 
         # delta = the cached `new` DF — identical rows to the seen delta
         # job_seen persists, without waiting on (or re-reading) that write
-        bloom_upd = update_bloom(bloom, new, cfg.bloom_shards)
+        bloom_upd = update_bloom(flt, new, cfg.bloom_shards)
         # Saturation guard, GATED so it is free until genuinely needed:
         # the expected per-shard fill is computable driver-side from the
         # running key count (job_seen has finished, so n_new is known)
@@ -494,7 +649,10 @@ def run_wave(
     job_seen()
     dependents = [job_frontier]
     if cfg.use_bloom:
-        dependents.append(job_bloom)
+        dependents.append(
+            job_filter_cuckoo if cfg.seen_filter == "cuckoo"
+            else job_filter_bloom
+        )
     _run_concurrently(dependents)
     n_new = new_counts["n"]
     mark("state_chain")
@@ -506,7 +664,8 @@ def run_wave(
     info = {
         "frontier_count": frontier_counts["n"],
         "seen_total": int(prev_seen_total) + n_new,
-        "fetched": n_fetched,
+        # "fetched" is filled by finish_outputs (warm-cache count inside
+        # the background output job) BEFORE the ordered manifest commit
         "new_urls": n_new,
         # per-phase wall spans for the wave's state chain; popped (not
         # committed to the manifest) by run_crawl into the summary —
@@ -521,9 +680,11 @@ def run_wave(
     }
 
     def finish_outputs():
-        # OUTPUT writes: nothing downstream in the crawl depends on
-        # them — run them while wave w+1 is already fetching
-        _run_concurrently([job_trace, job_pages, job_metrics])
+        # OUTPUT write: nothing downstream in the crawl depends on
+        # it — it runs while wave w+1 is already fetching. It also
+        # fills info["fetched"]; run_crawl commits info AFTER this
+        # returns, so the manifest always carries the count.
+        info["fetched"] = int(job_outputs())
         validated.unpersist()
         mark("outputs")
         if profile:
@@ -556,12 +717,11 @@ def run_crawl(
     if store.last_wave() is None:
         init_state(spark, store, seeds, robots, cfg)
     wave = store.last_wave()
+    first_wave = wave
     state = store.manifest(wave)
     seen_total = int(state["seen_total"])
     frontier_count = int(state["frontier_count"])
-    total_fetched = 0
     wave_secs: list[float] = []
-    wave_fetched: list[int] = []
     wave_spans: list[dict] = []
     # Single background worker so output writes + commits stay strictly
     # wave-ordered (the manifest commit point must never reorder) while
@@ -596,8 +756,6 @@ def run_crawl(
                 )
             ))
             wave_secs.append(round(time.time() - t0, 2))
-            wave_fetched.append(info["fetched"])
-            total_fetched += info["fetched"]
             seen_total = int(info["seen_total"])
             frontier_count = int(info["frontier_count"])
             wave += 1
@@ -605,6 +763,14 @@ def run_crawl(
             f.result()
     finally:
         bg.shutdown(wait=True)
+    # per-wave fetch counts come from the committed manifests: the count
+    # is taken inside each wave's background output job (off the state
+    # chain's critical path), so it is only authoritative post-drain
+    wave_fetched = [
+        int(store.manifest(w).get("fetched", 0))
+        for w in range(first_wave + 1, store.last_wave() + 1)
+    ]
+    total_fetched = sum(wave_fetched)
     final = store.manifest(store.last_wave())
     return {
         "waves_run": store.last_wave(),

@@ -1446,7 +1446,19 @@ def _derived_graph_cfg(n_docs: int):
 
 def crawl_trace_from_documents(spark, sf, max_waves=2):
     """Run the full crawl engine over a synthetic onion graph whose size
-    is derived from the sf tier's documents table; returns the trace."""
+    is derived from the sf tier's documents table; returns the trace.
+
+    Side-effect-clean (VERDICT.md r4 next-round #4): the derived graph
+    AND its crawled snapshot store are built AT MOST ONCE per
+    (sf, max_waves) under the repo's ``.cache/`` with the q50
+    build-into-private-tmp + atomic-rename pattern — reruns (every
+    driver verify calls this via q43 and ``entry()``) reuse the cached
+    crawl instead of leaking two fresh /tmp trees per invocation, and
+    concurrent sessions see either nothing or a complete, immutable
+    directory."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from . import fixtures
@@ -1455,20 +1467,32 @@ def crawl_trace_from_documents(spark, sf, max_waves=2):
 
     n_docs = t(spark, sf, "documents").count()
     cfg_g = _derived_graph_cfg(n_docs)
-    tables = fixtures.generate_all(cfg_g)
-    d = tempfile.mkdtemp(prefix="crawlq_")
-    fixtures.write_parquet(tables, d)
-    store = SnapshotStore(tempfile.mkdtemp(prefix="crawlsnap_"))
-    C.run_crawl(
-        spark,
-        store,
-        C.load_pagestore(spark, f"{d}/pagestore.parquet"),
-        spark.read.parquet(f"{d}/seeds.parquet"),
-        spark.read.parquet(f"{d}/robots.parquet"),
-        spark.read.parquet(f"{d}/politeness.parquet"),
-        C.CrawlConfig(max_waves=max_waves, use_bloom=True,
-                      bloom_shards=4, bloom_bits=1 << 14),
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache"
     )
+    os.makedirs(cache, exist_ok=True)
+    tag = hashlib.md5(
+        f"{repr(cfg_g)}|waves={max_waves}".encode()
+    ).hexdigest()[:8]
+    path = os.path.join(cache, f"crawlq_{tag}")
+    if not os.path.isdir(path):
+        tmp = tempfile.mkdtemp(dir=cache, prefix=f"crawlq_{tag}_tmp")
+        fixtures.write_parquet(fixtures.generate_all(cfg_g), tmp)
+        C.run_crawl(
+            spark,
+            SnapshotStore(os.path.join(tmp, "snap")),
+            C.load_pagestore(spark, f"{tmp}/pagestore.parquet"),
+            spark.read.parquet(f"{tmp}/seeds.parquet"),
+            spark.read.parquet(f"{tmp}/robots.parquet"),
+            spark.read.parquet(f"{tmp}/politeness.parquet"),
+            C.CrawlConfig(max_waves=max_waves, use_bloom=True,
+                          bloom_shards=4, bloom_bits=1 << 14),
+        )
+        try:
+            os.rename(tmp, path)  # atomic; loser of a race cleans up
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    store = SnapshotStore(os.path.join(path, "snap"))
     return store.read_outputs(spark, "trace").orderBy("wave", "seq")
 
 
