@@ -145,6 +145,41 @@ def test_cuckoo_delete_unlearns_without_false_negatives(spark):
     flt2.unpersist()
 
 
+def test_cuckoo_insert_after_delete_no_false_negatives(spark):
+    """Regression (round 5): a delete used to leave a mid-row hole, and
+    _place_round's packed-row fast path would then hand a later insert a
+    slot that still held a live fingerprint — silently erasing a key
+    (false negative). Delete must repack the bucket row so the full
+    delete → insert → probe cycle keeps every remaining key positive."""
+    rng = np.random.default_rng(11)
+    keys = rng.integers(-2**62, 2**62, 3000, dtype=np.int64)
+    keep, drop = keys[:2000], keys[2000:]
+    fresh = rng.integers(-2**62, 2**62, 1500, dtype=np.int64)
+    flt = update_cuckoo(
+        empty_cuckoo(spark, 4, 1 << 9),  # high load so buckets fill
+        spark.createDataFrame(pd.DataFrame({"url_hash": keys}), "url_hash long"),
+        4,
+    )
+    flt = delete_cuckoo(
+        flt,
+        spark.createDataFrame(pd.DataFrame({"url_hash": drop}), "url_hash long"),
+        4,
+    )
+    flt = update_cuckoo(
+        flt,
+        spark.createDataFrame(pd.DataFrame({"url_hash": fresh}), "url_hash long"),
+        4,
+    ).persist()
+    want = np.unique(np.concatenate([keep, fresh]))
+    probed = probe_cuckoo(
+        spark.createDataFrame(pd.DataFrame({"url_hash": want}), "url_hash long"),
+        flt, 4,
+    ).toPandas()
+    missing = probed[~probed["maybe_seen"]]["url_hash"].tolist()
+    flt.unpersist()
+    assert not missing, f"insert-after-delete false negatives: {missing[:5]}"
+
+
 def test_cuckoo_saturation_guard_rebuilds(spark, tiny_tables, tiny_dir,
                                            tmp_store_dir):
     """Shards sized absurdly small (8 buckets × 4 slots = 32 keys/shard

@@ -216,12 +216,22 @@ def delete_cuckoo(filt: DataFrame, keys: DataFrame, num_shards: int
             fp = _fingerprints(h)
             i1, i2 = _buckets(h, fp, nbuckets)
             # per-key: clear ONE matching slot (i1 preferred); the loop
-            # is over the (rare, revocation-sized) delete batch
+            # is over the (rare, revocation-sized) delete batch. The
+            # bucket row is REPACKED after the clear: _place_round's
+            # fast path targets slot `occupancy + rank`, which is only
+            # a free slot while non-empty fingerprints sit contiguously
+            # at the front — a mid-row hole would make a later insert
+            # overwrite a live fingerprint (a false negative, the one
+            # property this filter must never give up)
             for j in range(len(h)):
                 for b in (int(i1[j]), int(i2[j])):
                     hit = np.flatnonzero(tab[b] == fp[j])
                     if len(hit):
                         tab[b, hit[0]] = 0
+                        brow = tab[b]
+                        nz = brow[brow != 0]
+                        brow[:] = 0
+                        brow[: len(nz)] = nz
                         break
         return pd.DataFrame({
             "pid": [int(row.pid)], "table": [tab.tobytes()],

@@ -339,9 +339,11 @@ def new_candidates(
     # static bucket pruning (see docstring): collect the positives'
     # distinct pids from the persisted probe cache and prune the
     # partitioned seen scan with a literal IN filter. The wave loop
-    # piggybacks this collect on the probe cache's first
-    # materialization via F.collect_set (plans/crawl.py); here it is a
-    # dedicated tiny job for API simplicity.
+    # piggybacks this collect on the persisted probe cache's FIRST
+    # materialization (plans/crawl.py: the distinct-pid collect is the
+    # action that fills the cache, so probe + collect cost one job);
+    # here it is the same collect — a dedicated tiny job only when the
+    # cache is already warm.
     pos_pids = [
         int(r.pid)
         for r in probed.filter(F.col("maybe_seen"))
