@@ -759,7 +759,11 @@ def main():
                 )
                 for c in campaigns
                 if c["pair"][0] in ceiling and c["pair"][1] in ceiling
-                and ceiling[c["pair"][1]] > 0
+                # BOTH legs must be nonzero: the expression divides by
+                # ceiling[small]/ceiling[big], so a degenerate 0.0 probe
+                # on either side would raise ZeroDivisionError while
+                # building the summary AFTER the hours-long campaign ran
+                and ceiling[c["pair"][0]] > 0 and ceiling[c["pair"][1]] > 0
             },
         }
         if store_results is not None:

@@ -180,6 +180,49 @@ def test_cuckoo_insert_after_delete_no_false_negatives(spark):
     assert not missing, f"insert-after-delete false negatives: {missing[:5]}"
 
 
+def test_cuckoo_colliding_fp_delete_keeps_other_key(spark):
+    """Regression (round-5 review): insert used to dedup against the
+    table — a key whose fingerprint already sat in its bucket pair (a
+    DIFFERENT colliding key's copy, inserted in an earlier wave) was
+    skipped, so deleting the first key erased the second key's only
+    fingerprint: a false negative, the one property the filter must
+    never give up. Inserts must store duplicate fingerprints (the
+    standard deletion-safety mechanism) so deleting one colliding key
+    never unlearns the other."""
+    from torscrapper_spark.operators.cuckoo import _buckets, _fingerprints
+
+    nbuckets = 8
+    rng = np.random.default_rng(7)
+    ks = rng.integers(-2**62, 2**62, 300_000, dtype=np.int64)
+    fp = _fingerprints(ks.view(np.uint64))
+    i1, _ = _buckets(ks.view(np.uint64), fp, nbuckets)
+    cells: dict = {}
+    pair = None
+    for j in range(len(ks)):
+        cell = (int(fp[j]), int(i1[j]))
+        if cell in cells and cells[cell] != int(ks[j]):
+            pair = (cells[cell], int(ks[j]))
+            break
+        cells.setdefault(cell, int(ks[j]))
+    assert pair is not None, "no (fp, bucket) collision in the sample"
+    a, b = pair
+
+    def delta(*keys):
+        return spark.createDataFrame(
+            pd.DataFrame({"url_hash": list(keys)}), "url_hash long"
+        )
+
+    # a and b arrive in SEPARATE waves: the old containment skip only
+    # consulted the pre-batch table, so same-batch inserts masked it
+    flt = update_cuckoo(empty_cuckoo(spark, 1, nbuckets), delta(a), 1)
+    flt = update_cuckoo(flt, delta(b), 1)
+    flt = delete_cuckoo(flt, delta(a), 1)
+    probed = probe_cuckoo(delta(b), flt, 1).toPandas()
+    assert probed["maybe_seen"].all(), (
+        "deleting a colliding key unlearned a different live key"
+    )
+
+
 def test_cuckoo_saturation_guard_rebuilds(spark, tiny_tables, tiny_dir,
                                            tmp_store_dir):
     """Shards sized absurdly small (8 buckets × 4 slots = 32 keys/shard

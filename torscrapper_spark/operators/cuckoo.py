@@ -26,9 +26,14 @@ re-crawls a URL). Inserts that fail after the eviction budget would
 create one, so such a shard flips ``degraded = true`` and its probe
 returns ``maybe_seen = true`` for everything — falling back to the
 exact path for that shard until the saturation guard rebuilds it at
-doubled capacity. Deletion of a PRESENT key is always safe; deleting a
-key that was never inserted is the caller's contract (standard cuckoo
-filter semantics — it could evict another key's colliding fingerprint).
+doubled capacity. Deletion of a PRESENT key is always safe BECAUSE
+inserts never dedup against the table (Fan et al. §3.2): two distinct
+keys that collide on (fingerprint, bucket pair) each store their own
+copy, so deleting one can never erase the other's only fingerprint.
+The flip side is the standard caller contract: insert each key at most
+once (the crawl's delta is exactly-new by construction — the exact
+anti-join guarantees no re-insert), and never delete a key that was
+not inserted.
 
 Scale notes mirror the bloom's: 10^10 keys over ~200 shards is ~5·10^7
 keys/shard → ``nbuckets = 2^24`` → 128 MB/shard at 4×16-bit slots, FP
@@ -46,7 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .seen import with_pid
+from .seen import saturated_shard_keys, with_pid
 
 CUCKOO_SCHEMA = "pid int, table binary, nbuckets int, degraded boolean"
 
@@ -107,9 +112,17 @@ def _place_round(tab: np.ndarray, idx: np.ndarray, fp: np.ndarray
 def _insert(tab: np.ndarray, nbuckets: int, h: np.ndarray) -> bool:
     """Insert the batch (deterministically: sorted by hash); returns
     False if any key exhausted its eviction budget (shard must degrade).
-    Already-present keys are skipped (idempotent across waves)."""
+
+    Deliberately NO dedup against the table's existing fingerprints:
+    skipping a key whose fp already appears in its bucket pair (an
+    earlier revision did) silently merges two colliding keys into one
+    stored copy, and a later ``delete`` of either then erases the
+    other's membership — the false negative this module must never
+    produce. Duplicate fingerprints are the textbook deletion-safety
+    mechanism; the capacity cost is the fp-collision rate (~2^-40 per
+    key pair per shard). In-batch exact duplicates (same hash) are
+    still collapsed by ``np.unique``."""
     h = np.unique(h.astype(np.uint64).view(np.int64)).view(np.uint64)
-    h = h[~_contains(tab, nbuckets, h)]
     if len(h) == 0:
         return True
     fp = _fingerprints(h)
@@ -159,7 +172,12 @@ def update_cuckoo(filt: DataFrame, delta: DataFrame, num_shards: int
                   ) -> DataFrame:
     """Insert the delta's url_hashes into the per-pid shards
     (incremental, O(delta)); a shard whose eviction budget is exhausted
-    flips ``degraded`` instead of risking a false negative."""
+    flips ``degraded`` instead of risking a false negative.
+
+    Caller contract: each key is inserted at most once over the
+    filter's lifetime (re-inserting stores a second fingerprint copy —
+    see ``_insert``). The crawl guarantees this by construction: the
+    delta is the exact-anti-joined NEW set every wave."""
     d = with_pid(delta.select("url_hash"), num_shards)
 
     def merge(key, hashes_it: pd.DataFrame, state: pd.DataFrame
@@ -327,15 +345,7 @@ def grow_saturated_cuckoo(
     }
     if not sat:
         return filt_next
-    seen_k = seen if "pid" in seen.columns else with_pid(seen, num_shards)
-    keys = (
-        seen_k.filter(F.col("pid").isin(*sat)).select("pid", "url_hash")
-        .unionByName(
-            with_pid(delta.select("url_hash"), num_shards)
-            .filter(F.col("pid").isin(*sat))
-            .select("pid", "url_hash")
-        )
-    )
+    keys = saturated_shard_keys(seen, delta, sat, num_shards)
 
     def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(pdf["pid"].iloc[0])

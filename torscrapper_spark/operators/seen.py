@@ -127,6 +127,29 @@ def bloom_fill(spark_df: DataFrame) -> DataFrame:
     )
 
 
+def saturated_shard_keys(
+    seen: DataFrame, delta: DataFrame, sat_pids, num_shards: int
+) -> DataFrame:
+    """Full key set of the saturated shards, for a filter rebuild:
+    the cumulative seen snapshot filtered to the saturated pids (a
+    static literal ``pid IN`` over the pid-bucketed layout, so the scan
+    partition-prunes to just those buckets) unioned with this wave's
+    delta (committed to the seen table but possibly not yet visible to
+    the snapshot the caller scanned). Shared by the bloom and cuckoo
+    saturation guards so a pruning fix can never silently miss one of
+    the twins."""
+    pids = list(sat_pids)
+    seen_k = seen if "pid" in seen.columns else with_pid(seen, num_shards)
+    return (
+        seen_k.filter(F.col("pid").isin(*pids)).select("pid", "url_hash")
+        .unionByName(
+            with_pid(delta.select("url_hash"), num_shards)
+            .filter(F.col("pid").isin(*pids))
+            .select("pid", "url_hash")
+        )
+    )
+
+
 def grow_saturated_shards(
     spark,
     bloom_next: DataFrame,
@@ -172,15 +195,7 @@ def grow_saturated_shards(
     }
     if not sat:
         return bloom_next
-    seen_k = seen if "pid" in seen.columns else with_pid(seen, num_shards)
-    keys = (
-        seen_k.filter(F.col("pid").isin(*sat)).select("pid", "url_hash")
-        .unionByName(
-            with_pid(delta.select("url_hash"), num_shards)
-            .filter(F.col("pid").isin(*sat))
-            .select("pid", "url_hash")
-        )
-    )
+    keys = saturated_shard_keys(seen, delta, sat, num_shards)
 
     def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(pdf["pid"].iloc[0])

@@ -1444,18 +1444,46 @@ def _derived_graph_cfg(n_docs: int):
     )
 
 
+_PKG_CODE_HASH: list = []  # computed once per process
+
+
+def _pkg_code_hash() -> str:
+    """Content hash of every .py source in this package. Folded into the
+    derived-crawl cache tag so ANY engine/fixture change invalidates the
+    cache: a tag keyed only on (graph config, waves) would keep serving
+    a pre-change trace to the driver's verify queries (q43/entry) after
+    the crawl's behavior changed — hiding exactly the regressions those
+    queries exist to catch (bench.py's prepare_graph versions its cache
+    with GEN_V for the same reason; here the hash is automatic)."""
+    if not _PKG_CODE_HASH:
+        import hashlib
+        import os
+
+        pkg = os.path.dirname(os.path.abspath(__file__))
+        h = hashlib.md5()
+        for root, _dirs, files in sorted(os.walk(pkg)):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    p = os.path.join(root, fn)
+                    h.update(os.path.relpath(p, pkg).encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _PKG_CODE_HASH.append(h.hexdigest()[:8])
+    return _PKG_CODE_HASH[0]
+
+
 def crawl_trace_from_documents(spark, sf, max_waves=2):
     """Run the full crawl engine over a synthetic onion graph whose size
     is derived from the sf tier's documents table; returns the trace.
 
     Side-effect-clean (VERDICT.md r4 next-round #4): the derived graph
     AND its crawled snapshot store are built AT MOST ONCE per
-    (sf, max_waves) under the repo's ``.cache/`` with the q50
-    build-into-private-tmp + atomic-rename pattern — reruns (every
-    driver verify calls this via q43 and ``entry()``) reuse the cached
-    crawl instead of leaking two fresh /tmp trees per invocation, and
-    concurrent sessions see either nothing or a complete, immutable
-    directory."""
+    (sf, max_waves, package code version) under the repo's ``.cache/``
+    with the q50 build-into-private-tmp + atomic-rename pattern —
+    reruns (every driver verify calls this via q43 and ``entry()``)
+    reuse the cached crawl instead of leaking two fresh /tmp trees per
+    invocation, and concurrent sessions see either nothing or a
+    complete, immutable directory."""
     import hashlib
     import os
     import shutil
@@ -1472,7 +1500,7 @@ def crawl_trace_from_documents(spark, sf, max_waves=2):
     )
     os.makedirs(cache, exist_ok=True)
     tag = hashlib.md5(
-        f"{repr(cfg_g)}|waves={max_waves}".encode()
+        f"{repr(cfg_g)}|waves={max_waves}|code={_pkg_code_hash()}".encode()
     ).hexdigest()[:8]
     path = os.path.join(cache, f"crawlq_{tag}")
     if not os.path.isdir(path):
