@@ -180,6 +180,80 @@ def test_cuckoo_insert_after_delete_no_false_negatives(spark):
     assert not missing, f"insert-after-delete false negatives: {missing[:5]}"
 
 
+def test_cuckoo_kernel_model_based():
+    """Hypothesis model check of the numpy kernels (no Spark): random
+    insert/delete sequences against a live-key-set model. Invariants
+    after every op, including under hypothesis's adversarial shrinking
+    toward small keys (which share fingerprints aggressively — every
+    h < 2^16 has fp == 1, deliberately stressing duplicate semantics):
+
+      1. every live (inserted, not deleted) key probes True — the
+         load-bearing no-false-negatives property;
+      2. occupancy == live-key count exactly: each insert stores
+         exactly one copy, each contract-respecting delete removes
+         exactly one (a live key's fp is always in its own bucket
+         pair, so a delete always hits);
+      3. deleting every live key leaves an all-zero table.
+
+    An insert that exhausts its eviction budget returns False — the
+    shard degrades (probe answers all-true, trivially safe) and the
+    sequence stops there, mirroring update_cuckoo."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from torscrapper_spark.operators.cuckoo import (
+        _SLOTS,
+        _contains,
+        _delete,
+        _insert,
+    )
+
+    def as_u64(keys):
+        return np.array(keys, dtype=np.int64).view(np.uint64)
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.data())
+    def run(data):
+        nbuckets = 16
+        tab = np.zeros((nbuckets, _SLOTS), dtype=np.uint16)
+        live: list = []
+        for _ in range(data.draw(st.integers(1, 8))):
+            if live and data.draw(st.booleans()):
+                k = data.draw(st.integers(1, len(live)))
+                order = data.draw(st.permutations(list(range(len(live)))))
+                drop = {live[i] for i in order[:k]}
+                _delete(tab, nbuckets, as_u64(sorted(drop)))
+                live = [x for x in live if x not in drop]
+            else:
+                batch = [
+                    b
+                    for b in data.draw(
+                        st.lists(
+                            st.integers(-(2**63), 2**63 - 1),
+                            min_size=1, max_size=12, unique=True,
+                        )
+                    )
+                    if b not in set(live)
+                ]
+                if not batch:
+                    continue
+                if not _insert(tab, nbuckets, as_u64(batch)):
+                    return  # degraded: probe answers all-true (safe)
+                live.extend(batch)
+            if live:
+                assert _contains(tab, nbuckets, as_u64(live)).all(), (
+                    "false negative for a live key"
+                )
+            assert int((tab != 0).sum()) == len(live), (
+                "occupancy diverged from the live-key count"
+            )
+        if live:
+            _delete(tab, nbuckets, as_u64(live))
+            assert not tab.any(), "deleting every live key must empty"
+
+    run()
+
+
 def test_cuckoo_colliding_fp_delete_keeps_other_key(spark):
     """Regression (round-5 review): insert used to dedup against the
     table — a key whose fingerprint already sat in its bucket pair (a

@@ -157,6 +157,33 @@ def _insert(tab: np.ndarray, nbuckets: int, h: np.ndarray) -> bool:
     return True
 
 
+def _delete(tab: np.ndarray, nbuckets: int, h: np.ndarray) -> None:
+    """Remove ONE fingerprint copy per key (i1 preferred). A live key's
+    fingerprint is always in one of its two buckets (inserts place it
+    there and the eviction walk only ever moves a fingerprint between
+    ITS OWN two buckets), so a contract-respecting delete always finds
+    a hit. The bucket row is REPACKED after the clear: _place_round's
+    fast path targets slot ``occupancy + rank``, which is only a free
+    slot while non-empty fingerprints sit contiguously at the front —
+    a mid-row hole would make a later insert overwrite a live
+    fingerprint (a false negative, the one property this filter must
+    never give up). The loop is over the (rare, revocation-sized)
+    delete batch."""
+    h = np.unique(h.astype(np.uint64).view(np.int64)).view(np.uint64)
+    fp = _fingerprints(h)
+    i1, i2 = _buckets(h, fp, nbuckets)
+    for j in range(len(h)):
+        for b in (int(i1[j]), int(i2[j])):
+            hit = np.flatnonzero(tab[b] == fp[j])
+            if len(hit):
+                tab[b, hit[0]] = 0
+                brow = tab[b]
+                nz = brow[brow != 0]
+                brow[:] = 0
+                brow[: len(nz)] = nz
+                break
+
+
 def empty_cuckoo(spark, num_shards: int, nbuckets: int) -> DataFrame:
     assert nbuckets & (nbuckets - 1) == 0, "nbuckets must be a power of 2"
     pdf = pd.DataFrame({
@@ -228,29 +255,11 @@ def delete_cuckoo(filt: DataFrame, keys: DataFrame, num_shards: int
             nbuckets, _SLOTS
         ).copy()
         if len(hashes_it):
-            h = np.unique(
+            _delete(
+                tab, nbuckets,
                 hashes_it["url_hash"].to_numpy().astype(np.int64)
-            ).view(np.uint64)
-            fp = _fingerprints(h)
-            i1, i2 = _buckets(h, fp, nbuckets)
-            # per-key: clear ONE matching slot (i1 preferred); the loop
-            # is over the (rare, revocation-sized) delete batch. The
-            # bucket row is REPACKED after the clear: _place_round's
-            # fast path targets slot `occupancy + rank`, which is only
-            # a free slot while non-empty fingerprints sit contiguously
-            # at the front — a mid-row hole would make a later insert
-            # overwrite a live fingerprint (a false negative, the one
-            # property this filter must never give up)
-            for j in range(len(h)):
-                for b in (int(i1[j]), int(i2[j])):
-                    hit = np.flatnonzero(tab[b] == fp[j])
-                    if len(hit):
-                        tab[b, hit[0]] = 0
-                        brow = tab[b]
-                        nz = brow[brow != 0]
-                        brow[:] = 0
-                        brow[: len(nz)] = nz
-                        break
+                .view(np.uint64),
+            )
         return pd.DataFrame({
             "pid": [int(row.pid)], "table": [tab.tobytes()],
             "nbuckets": [nbuckets], "degraded": [bool(row.degraded)],
