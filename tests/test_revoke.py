@@ -1,0 +1,226 @@
+"""Delta compaction (Iceberg rewrite_data_files/expire_snapshots
+analogue) and seed revocation — the end-to-end consumer of the cuckoo
+filter's deletion capability (BASELINE.json:6 "cuckoo/bloom").
+
+Invariants pinned here:
+  * compaction changes WHERE the seen set lives (one base dir instead of
+    O(waves) delta dirs), never WHAT it contains — a resumed crawl over
+    a compacted store produces a bit-identical trace;
+  * forget-mode revocation removes keys from the seen set and the
+    filter together (filter ⊇ seen must survive, else a false negative
+    double-queues a URL), and every remaining key still probes positive;
+  * reseed-mode revocation re-queues without touching seen/filter
+    (frontier ⊆ seen must survive), and the revoked URLs — and ONLY
+    they — are fetched a second time.
+"""
+
+import tempfile
+
+import pandas as pd
+import pytest
+
+from torscrapper_spark.functions.spark_udfs import url_hash_col
+from torscrapper_spark.operators.cuckoo import probe_cuckoo
+from torscrapper_spark.plans import crawl as C
+from torscrapper_spark.sources.tableio import SnapshotStore
+
+
+def _inputs(spark, tiny_dir):
+    return (
+        C.load_pagestore(spark, f"{tiny_dir}/pagestore.parquet"),
+        spark.read.parquet(f"{tiny_dir}/seeds.parquet"),
+        spark.read.parquet(f"{tiny_dir}/robots.parquet"),
+        spark.read.parquet(f"{tiny_dir}/politeness.parquet"),
+    )
+
+
+def _trace(spark, store):
+    return (
+        store.read_outputs(spark, "trace")
+        .orderBy("wave", "seq")
+        .select("wave", "seq", "url", "depth", "status")
+        .toPandas()
+    )
+
+
+def _cfg(**kw):
+    base = dict(
+        max_waves=3, default_budget=5, use_bloom=True,
+        seen_filter="cuckoo", bloom_shards=4, cuckoo_buckets=1 << 10,
+        bloom_bits=1 << 14,
+    )
+    base.update(kw)
+    return C.CrawlConfig(**base)
+
+
+def _seen_pdf(seen, wave, pid_mod):
+    return pd.DataFrame({
+        "url_hash": pd.Series(seen, dtype="int64"),
+        "wave_added": pd.Series([wave] * len(seen), dtype="int32"),
+        "pid": pd.Series([h % pid_mod for h in seen], dtype="int32"),
+    })
+
+
+# ---------------------------------------------------------------- compaction
+
+def test_compact_union_expiry_and_time_travel_floor(spark):
+    import os
+
+    st = SnapshotStore(tempfile.mkdtemp(prefix="tsio_c_"))
+    for w, hashes in enumerate([[1, 2, 3], [10, 11], [20]]):
+        st.write(
+            spark.createDataFrame(_seen_pdf(hashes, w, 4)),
+            "seen", w, partition_by="pid",
+        )
+        st.commit(w, {"n": len(hashes)})
+    before = {r.url_hash for r in st.read_upto(spark, "seen", 2).collect()}
+    info = st.compact(spark, "seen", 2, width=2)
+    assert info["base"] == 2 and info["expired_versions"] == 3
+    # content identical, delta dirs expired, base dir live
+    assert {r.url_hash for r in st.read_upto(spark, "seen", 2).collect()} \
+        == before
+    for w in range(3):
+        assert not os.path.isdir(st.table_path("seen", w))
+    assert st.base_wave("seen") == 2
+    # pid bucket pruning still reaches the compacted scan
+    got = st.read_upto(spark, "seen", 2).filter("pid = 2")
+    assert {r.url_hash for r in got.collect()} == {2, 10}
+    # time travel below the base raises (Iceberg expire_snapshots)
+    with pytest.raises(ValueError, match="compacted/expired"):
+        st.read_upto(spark, "seen", 1)
+    # a later delta unions on top of the base …
+    st.write(
+        spark.createDataFrame(_seen_pdf([30, 31], 3, 4)),
+        "seen", 3, partition_by="pid",
+    )
+    st.commit(3, {"n": 2})
+    assert {r.url_hash for r in st.read_upto(spark, "seen", 3).collect()} \
+        == before | {30, 31}
+    # … and re-compaction (new generation dir) folds it in
+    info2 = st.compact(spark, "seen", 3)
+    assert info2["base"] == 3 and info2["dir"] != info["dir"]
+    assert {r.url_hash for r in st.read_upto(spark, "seen", 3).collect()} \
+        == before | {30, 31}
+
+
+def test_compaction_is_invisible_to_resume(spark, tiny_dir):
+    ps, seeds, robots, pol = _inputs(spark, tiny_dir)
+    s_full = SnapshotStore(tempfile.mkdtemp())
+    C.run_crawl(spark, s_full, ps, seeds, robots, pol, _cfg(max_waves=3))
+
+    s_cmp = SnapshotStore(tempfile.mkdtemp())
+    C.run_crawl(spark, s_cmp, ps, seeds, robots, pol, _cfg(max_waves=1))
+    s_cmp.compact(spark, "seen", s_cmp.last_wave())
+    C.run_crawl(spark, s_cmp, ps, seeds, robots, pol, _cfg(max_waves=3))
+
+    assert _trace(spark, s_full).equals(_trace(spark, s_cmp))
+    m_full = s_full.manifest(s_full.last_wave())
+    m_cmp = s_cmp.manifest(s_cmp.last_wave())
+    assert m_full == m_cmp
+
+
+# ---------------------------------------------------------------- revocation
+
+def test_revoke_forget_removes_from_seen_and_cuckoo(spark, tiny_dir):
+    ps, seeds, robots, pol = _inputs(spark, tiny_dir)
+    cfg = _cfg(max_waves=2)
+    store = SnapshotStore(tempfile.mkdtemp())
+    C.run_crawl(spark, store, ps, seeds, robots, pol, cfg)
+    w = store.last_wave()
+
+    fetched = (
+        store.read_outputs(spark, "trace")
+        .filter("status = 200").select("url").distinct().limit(3).toPandas()
+    )
+    assert len(fetched) == 3
+    out = C.revoke_urls(
+        spark, store, spark.createDataFrame(fetched), cfg
+    )
+    assert out["revoked"] == 3 and out["wave"] == w + 1
+    assert store.last_wave() == w + 1
+
+    # seen no longer contains the revoked hashes; everything else kept
+    rev_hashes = {
+        r.h for r in spark.createDataFrame(fetched)
+        .select(url_hash_col("url").alias("h")).collect()
+    }
+    seen_now = {
+        r.url_hash
+        for r in store.read_upto(spark, "seen", w + 1).collect()
+    }
+    assert not (seen_now & rev_hashes)
+    assert out["seen_total"] == len(seen_now)
+    m = store.manifest(w + 1)
+    assert m["revoked"] == 3 and m["seen_total"] == len(seen_now)
+    # the compaction rode along: the delta chain is one base dir now
+    assert store.base_wave("seen") == w
+
+    # the cuckoo filter unlearned the keys but every remaining seen key
+    # still probes positive (filter ⊇ seen — no false negatives)
+    flt = store.read(spark, "cuckoo", w + 1)
+    kept = spark.createDataFrame(
+        pd.DataFrame({"url_hash": pd.Series(sorted(seen_now), dtype="int64")})
+    )
+    probed = probe_cuckoo(kept, flt, cfg.bloom_shards).toPandas()
+    assert probed["maybe_seen"].all()
+
+    # and the crawl resumes from the revocation snapshot with no
+    # special casing
+    C.run_crawl(spark, store, ps, seeds, robots, pol,
+                _cfg(max_waves=w + 3))
+    tr = _trace(spark, store)
+    dup = tr.groupby("url").size()
+    # a non-revoked URL is never fetched twice; a revoked one may be
+    # re-fetched only if rediscovered via links
+    multi = set(dup[dup > 1].index)
+    rev_urls = set(fetched["url"])
+    assert multi <= rev_urls
+
+
+@pytest.mark.parametrize("filt", ["cuckoo", "bloom"])
+def test_revoke_reseed_refetches_exactly_the_revoked(spark, tiny_dir, filt):
+    ps, seeds, robots, pol = _inputs(spark, tiny_dir)
+    cfg = _cfg(max_waves=2, seen_filter=filt)
+    store = SnapshotStore(tempfile.mkdtemp())
+    C.run_crawl(spark, store, ps, seeds, robots, pol, cfg)
+    w = store.last_wave()
+    pre_seen = store.manifest(w)["seen_total"]
+
+    fetched = (
+        store.read_outputs(spark, "trace")
+        .filter("status = 200").select("url").distinct().limit(3).toPandas()
+    )
+    out = C.revoke_urls(
+        spark, store, spark.createDataFrame(fetched), cfg, reseed=True
+    )
+    assert out["revoked"] == 3
+    # reseed mode touches neither the seen set nor the filter
+    assert out["seen_total"] == pre_seen
+    assert store.base_wave("seen") is None
+
+    C.run_crawl(spark, store, ps, seeds, robots, pol,
+                _cfg(max_waves=w + 4, seen_filter=filt))
+    tr = _trace(spark, store)
+    counts = tr.groupby("url").size()
+    rev_urls = set(fetched["url"])
+    for u in rev_urls:
+        assert counts[u] == 2, f"{u} fetched {counts[u]}×, expected 2"
+    others = counts[~counts.index.isin(rev_urls)]
+    assert (others == 1).all()
+
+
+def test_revoke_unknown_urls_is_a_noop(spark, tiny_dir):
+    ps, seeds, robots, pol = _inputs(spark, tiny_dir)
+    cfg = _cfg(max_waves=2)
+    store = SnapshotStore(tempfile.mkdtemp())
+    C.run_crawl(spark, store, ps, seeds, robots, pol, cfg)
+    w = store.last_wave()
+    out = C.revoke_urls(
+        spark, store,
+        spark.createDataFrame(
+            pd.DataFrame({"url": ["http://never-crawled.onion/x"]})
+        ),
+        cfg,
+    )
+    assert out["revoked"] == 0
+    assert store.last_wave() == w  # no snapshot published

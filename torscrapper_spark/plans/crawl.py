@@ -53,6 +53,7 @@ from ..operators.fetch import (
 from ..operators.links import extract_candidates
 from ..operators.politeness import PRIORITY_COLS, budget_select, robots_gate
 from ..operators.cuckoo import (
+    delete_cuckoo,
     empty_cuckoo,
     grow_saturated_cuckoo,
     probe_cuckoo,
@@ -781,3 +782,160 @@ def run_crawl(
         "wave_fetched": wave_fetched,
         "wave_spans": wave_spans,
     }
+
+
+
+def revoke_urls(
+    spark: SparkSession,
+    store: SnapshotStore,
+    urls: DataFrame,
+    cfg: CrawlConfig = CrawlConfig(),
+    reseed: bool = False,
+) -> dict:
+    """Seed revocation — the end-to-end consumer of the cuckoo filter's
+    DELETION capability (BASELINE.json:6 "cuckoo/bloom"; deletion is
+    exactly what the cuckoo variant adds over the bloom,
+    operators/cuckoo.py), published as a normal committed wave so
+    :func:`run_crawl` resumes from it with no special casing.
+
+    ``urls``: a DataFrame with a ``url`` column (raw — canonicalized
+    here with the same A4 rules the crawl applies), semi-joined against
+    the seen set first (broadcast from the revocation list, never a
+    shuffle of the 10^10-row seen table): revoking an unknown URL is a
+    no-op, and only previously-inserted keys may reach the cuckoo
+    delete (its contract is one stored fingerprint per inserted key).
+
+    Two modes, chosen to preserve the crawl's two standing invariants —
+    ``frontier ⊆ seen`` (else a queued URL rediscovered via links is
+    double-queued) and ``filter ⊇ seen`` (a false negative re-inserts a
+    seen URL):
+
+    * ``reseed=False`` — **forget**: the URLs leave the seen set and the
+      filter together, so both invariants hold with the keys simply
+      gone; the crawl re-fetches them IF some later wave's links
+      rediscover them (content purged upstream, a seed list withdrawn).
+      Steps, in durability order:
+
+      1. seen rewrite via :meth:`SnapshotStore.compact` with an
+         anti-join transform — one atomically-published base dir
+         holding "seen minus revoked" (which also collapses the
+         O(waves) delta-dir union every later wave would re-pay). A
+         crash after this step leaves the store resumable at wave ``w``
+         with the keys already forgotten: the stale filter's extra
+         fingerprints are mere false positives (the exact residual
+         decides), and re-running the revocation converges.
+      2. filter at ``w+1``: the cuckoo path DELETES in place —
+         O(revoked) work touching only the affected shards regardless
+         of crawl age (a key inserted while its shard was degraded has
+         no stored fingerprint; ``_delete`` no-ops on it, safe because
+         degraded shards probe as maybe-seen anyway). The bloom path
+         cannot delete, so it REBUILDS from the compacted seen set — a
+         full scan, the documented cost of choosing bloom.
+      3. frontier carried forward to ``w+1`` unchanged; manifest commit
+         with the recounted ``seen_total`` and a ``revoked`` audit field.
+
+    * ``reseed=True`` — **recrawl now**: the URLs are re-queued at
+      depth 0 (dedup-guarded against rows already in the frontier) so
+      the next wave re-fetches them immediately. They stay in the seen
+      set and the filter — removing them there while they sit in the
+      frontier would break both invariants (equivalently: this mode IS
+      forget + instant rediscovery, with no false-negative window in
+      between). Nothing to compact or delete; the filter state is
+      carried forward to ``w+1`` for the resume read.
+    """
+    w = store.last_wave()
+    if w is None:
+        raise ValueError("revoke_urls needs a committed crawl snapshot")
+    keys = (
+        urls.select(canonicalize_udf(F.col("url")).alias("url"))
+        .distinct()
+        .select("url", url_hash_col("url").alias("url_hash"))
+    )
+    seen = store.read_upto(spark, "seen", w)
+    rev = keys.join(
+        seen.select("url_hash"), "url_hash", "left_semi"
+    ).persist()
+    n_rev = rev.count()  # bounded by the revocation list's size
+    manifest = store.manifest(w)
+    if n_rev == 0:
+        rev.unpersist()
+        return {"revoked": 0, "wave": w,
+                "seen_total": int(manifest["seen_total"])}
+    frontier = store.read(spark, "frontier", w)
+    out: dict = {"revoked": n_rev, "wave": w + 1}
+    if reseed:
+        # dedup guard against rows already queued — phrased as "probe
+        # the frontier with the BROADCAST revocation list" (map-side,
+        # result bounded by the revocation list) rather than an
+        # anti-join with the tiny side on the left, which cannot
+        # broadcast and would shuffle the 10^10-row frontier
+        queued = [
+            r.url_hash
+            for r in frontier.join(
+                F.broadcast(rev.select("url_hash")), "url_hash", "left_semi"
+            ).select("url_hash").distinct().collect()
+        ]
+        re_rows = (
+            rev.filter(~F.col("url_hash").isin(queued)) if queued else rev
+        ).select(
+            "url",
+            "url_hash",
+            domain_col("url").alias("domain"),
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(w).cast("int").alias("discovered_wave"),
+        )
+        frontier = frontier.select(*FRONTIER_COLS).unionByName(
+            re_rows.select(*FRONTIER_COLS)
+        )
+        seen_total = int(manifest["seen_total"])
+        if cfg.use_bloom:
+            store.write(
+                store.read(spark, cfg.seen_filter, w), cfg.seen_filter, w + 1
+            )
+    else:
+        rev_hashes = F.broadcast(rev.select("url_hash"))
+        out["compaction"] = store.compact(
+            spark,
+            "seen",
+            w,
+            width=_file_width(int(manifest.get("seen_total", 0)) or 1, cfg),
+            transform=lambda df: df.join(
+                rev_hashes, "url_hash", "left_anti"
+            ),
+        )
+        seen_total = store.read_upto(spark, "seen", w).count()
+        if cfg.use_bloom:
+            if cfg.seen_filter == "cuckoo":
+                flt = delete_cuckoo(
+                    store.read(spark, "cuckoo", w), rev, cfg.bloom_shards
+                )
+                store.write(flt, "cuckoo", w + 1)
+            else:
+                flt = update_bloom(
+                    empty_bloom(
+                        spark, cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k
+                    ),
+                    store.read_upto(spark, "seen", w),
+                    cfg.bloom_shards,
+                )
+                store.write(flt, "bloom", w + 1)
+    store.write(
+        frontier.select(*FRONTIER_COLS).repartition(
+            _file_width(int(manifest["frontier_count"]) + n_rev, cfg)
+        ),
+        "frontier",
+        w + 1,
+    )
+    n_frontier = store.read(spark, "frontier", w + 1).count()
+    store.commit(
+        w + 1,
+        {
+            "frontier_count": n_frontier,
+            "seen_total": seen_total,
+            "revoked": n_rev,
+            "reseeded": bool(reseed),
+        },
+    )
+    rev.unpersist()
+    out.update({"seen_total": seen_total, "frontier_count": n_frontier})
+    return out

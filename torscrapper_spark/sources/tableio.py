@@ -22,12 +22,28 @@ Delta-table convention: tables registered as *deltas* (e.g. ``seen``)
 append one version dir per wave and are read as the union of all
 versions ≤ w; state tables (``frontier``, ``bloom``) are read at
 exactly version w.
+
+Delta compaction (:meth:`SnapshotStore.compact` — the Iceberg
+``rewrite_data_files`` + ``expire_snapshots`` analogue): at 10^10 scale
+a crawl runs thousands of waves, so the naive "union every version dir"
+read pays O(waves) directory listings and per-file footer opens per
+wave — a fixed cost that GROWS with crawl age while carrying the same
+bytes. ``compact`` rewrites versions ≤ w into one ``base=<w>-<gen>``
+dir, publishes it via an atomically-renamed ``_base.json`` marker (the
+commit point — the marker names the live base dir, so a crash at any
+step leaves either the old or the new base fully readable, never a
+mix), then expires the superseded version dirs. ``read_upto`` reads the
+base dir plus only the delta dirs AFTER it; reads below the base raise
+(those snapshots are expired, exactly Iceberg's semantics). Compaction
+also accepts a ``transform`` — the seed-revocation path rewrites the
+seen set minus the revoked keys in the same durable step.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,6 +115,93 @@ class SnapshotStore:
                     "partition_by": partition_by,
                 }, f)
             os.replace(tmp, sidecar)
+
+    # ---- delta compaction (Iceberg rewrite_data_files + expire_snapshots) ----
+    def _base_marker_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_base.json")
+
+    def _base_info(self, table: str) -> tuple[int, str] | None:
+        """(base wave, live base dir name) or None if never compacted."""
+        try:
+            with open(self._base_marker_path(table)) as f:
+                m = json.load(f)
+            return int(m["base"]), m["dir"]
+        except FileNotFoundError:
+            return None
+
+    def base_wave(self, table: str) -> int | None:
+        """Highest expired version (reads below it raise), or None."""
+        info = self._base_info(table)
+        return info[0] if info is not None else None
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        upto: int,
+        width: int | None = None,
+        transform=None,
+    ) -> dict:
+        """Rewrite delta versions ≤ ``upto`` into one base dir and expire
+        them. Crash-safe at every step:
+
+        1. the compacted union is written to a fresh ``base=<upto>-<gen>``
+           dir (``gen`` increments per compaction, so re-compacting at the
+           same wave — e.g. two revocations between waves — never rewrites
+           the dir the live marker points at);
+        2. ``_base.json`` naming that dir is the atomic commit point
+           (tmp-file + fsync + rename, same discipline as the manifests);
+        3. superseded version dirs and older base dirs are expired LAST —
+           a crash mid-expire leaves garbage the reader already ignores.
+
+        ``transform`` (optional) rewrites the union on the way into the
+        base — the seed-revocation path's anti-join rides here so "forget
+        these keys" is durable in the same commit as the compaction.
+        ``width`` sizes the output file count (data-proportional, like
+        the per-wave state writes)."""
+        schema, part_col = self._table_meta(table)
+        if schema is None:
+            raise ValueError(
+                f"compact needs table '{table}' to have a schema sidecar"
+            )
+        df = self.read_upto(spark, table, upto)
+        if transform is not None:
+            df = transform(df)
+        if width is not None:
+            df = (
+                df.repartition(width, part_col)
+                if part_col is not None
+                else df.repartition(width)
+            )
+        prev = self._base_info(table)
+        gen = 0
+        if prev is not None and "-" in prev[1]:
+            gen = int(prev[1].rsplit("-", 1)[1]) + 1
+        base_name = f"base={upto}-{gen}"
+        tmp = os.path.join(self.root, table, "_compact_tmp")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        w = df.write.mode("overwrite")
+        if part_col is not None:
+            w = w.partitionBy(part_col)
+        w.parquet(tmp)
+        os.replace(tmp, os.path.join(self.root, table, base_name))
+        fd, t = tempfile.mkstemp(dir=os.path.join(self.root, table))
+        with os.fdopen(fd, "w") as f:
+            json.dump({"base": upto, "dir": base_name}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(t, self._base_marker_path(table))
+        expired = 0
+        for w_ in range(upto + 1):
+            p = self.table_path(table, w_)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+                expired += 1
+        for name in os.listdir(os.path.join(self.root, table)):
+            if name.startswith("base=") and name != base_name:
+                shutil.rmtree(os.path.join(self.root, table, name))
+        return {"base": upto, "dir": base_name, "expired_versions": expired}
 
     def _table_meta(self, table: str) -> tuple[StructType | None, str | None]:
         """(declared schema, declared partition column) from the sidecar.
@@ -179,6 +282,33 @@ class SnapshotStore:
           declared schema; it is projected away so downstream
           ``select('*')`` writes and unionByName never embed it.
         """
+        base = self._base_info(table)
+        if base is not None:
+            b, base_dir = base
+            if wave < b:
+                raise ValueError(
+                    f"table '{table}' snapshots ≤ {b} are compacted/expired"
+                    f"; cannot read as-of version {wave} (Iceberg "
+                    "expire_snapshots semantics — compact less "
+                    "aggressively if time travel below this is needed)"
+                )
+            schema = self._schema(table)
+            paths = [os.path.join(self.root, table, base_dir)] + [
+                self.table_path(table, w)
+                for w in range(b + 1, wave + 1)
+                if os.path.isdir(self.table_path(table, w))
+            ]
+            # per-dir reads, each anchored at itself so a hive bucket
+            # layout (pid=N subdirs) surfaces without the conflicting
+            # base=/wave= dir names ever entering partition discovery;
+            # a `pid IN` residual filter above the union prunes each
+            # scan independently. Post-compaction stores are written
+            # by this code, so layouts are uniform by construction.
+            out = None
+            for p in paths:
+                d = self._reader(spark, table).option("basePath", p).parquet(p)
+                out = d if out is None else out.unionByName(d)
+            return out.select(*schema.fieldNames()) if schema else out
         paths = [
             self.table_path(table, w)
             for w in range(wave + 1)
