@@ -119,6 +119,42 @@ def test_compaction_is_invisible_to_resume(spark, tiny_dir):
     assert m_full == m_cmp
 
 
+def test_auto_compaction_bounds_chain_and_preserves_trace(spark, tiny_dir):
+    import os
+
+    ps, seeds, robots, pol = _inputs(spark, tiny_dir)
+    s_plain = SnapshotStore(tempfile.mkdtemp())
+    C.run_crawl(spark, s_plain, ps, seeds, robots, pol, _cfg(max_waves=4))
+
+    s_auto = SnapshotStore(tempfile.mkdtemp())
+    cfg = _cfg(max_waves=4, compact_every=2, retain_state_snapshots=2)
+    C.run_crawl(spark, s_auto, ps, seeds, robots, pol, cfg)
+
+    # same crawl, byte-for-byte
+    assert _trace(spark, s_plain).equals(_trace(spark, s_auto))
+    last = s_auto.last_wave()
+    assert s_plain.manifest(s_plain.last_wave()) == s_auto.manifest(last)
+
+    # the seen delta chain stayed bounded by the threshold
+    assert s_auto.base_wave("seen") is not None
+    assert s_auto.delta_dirs_above_base("seen", last) <= cfg.compact_every
+    # state snapshots older than the trailing window are expired,
+    # the trailing ones live (resume reads only last_wave)
+    for t in ("frontier", "cuckoo"):
+        for w in range(last - 1):
+            assert not os.path.isdir(s_auto.table_path(t, w)), (t, w)
+        assert os.path.isdir(s_auto.table_path(t, last))
+    # manifests (history/metrics) are kept for every wave
+    for w in range(last + 1):
+        assert s_auto.manifest(w)["wave"] == w
+
+    # and the maintained store still resumes into an identical crawl
+    C.run_crawl(spark, s_plain, ps, seeds, robots, pol, _cfg(max_waves=6))
+    C.run_crawl(spark, s_auto, ps, seeds, robots, pol,
+                _cfg(max_waves=6, compact_every=2, retain_state_snapshots=2))
+    assert _trace(spark, s_plain).equals(_trace(spark, s_auto))
+
+
 # ---------------------------------------------------------------- revocation
 
 def test_revoke_forget_removes_from_seen_and_cuckoo(spark, tiny_dir):

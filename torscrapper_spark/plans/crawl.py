@@ -193,6 +193,27 @@ class CrawlConfig:
     # width still grows linearly with the frontier. ~150-250 B rows →
     # ~40-60 MB files at the default.
     state_rows_per_file: int = 250_000
+    # Auto-maintenance between waves (both default OFF so existing
+    # traces, the golden tiers, and the frozen scaling protocol are
+    # byte-for-byte untouched):
+    # compact the `seen` delta chain (SnapshotStore.compact — the
+    # Iceberg rewrite_data_files analogue) whenever the number of live
+    # delta dirs above the compacted base reaches this. The chain
+    # length is the read cost that grows with crawl age — O(dirs)
+    # listings + footer opens per wave — so a fixed threshold caps it
+    # at O(compact_every) forever; rewrite work is O(seen) per
+    # compaction, i.e. O(waves/compact_every) full rewrites over the
+    # crawl (the scheduled-maintenance cadence Iceberg deployments
+    # use; a tiered/LSM layout would trade that to O(log waves)
+    # rewrites at the cost of multi-level read fan-in).
+    compact_every: int | None = None
+    # expire state snapshots (frontier + the seen filter) older than
+    # the trailing N versions after each wave (SnapshotStore.
+    # expire_state_snapshots). Every state version is a FULL copy —
+    # O(waves × state size) storage if never expired — while resume
+    # only ever reads the last committed wave. None = keep all (full
+    # time travel).
+    retain_state_snapshots: int | None = None
 
 
 def _file_width(rows: int, cfg: "CrawlConfig") -> int:
@@ -731,10 +752,41 @@ def run_crawl(
     # uncommitted dirs are overwritten on retry (tableio docstring).
     bg = ThreadPoolExecutor(max_workers=1)
     pending = []
+
+    def expire_states() -> None:
+        # deletes only versions below the trailing retained window —
+        # the wave about to run reads exactly the last committed
+        # version, always inside it — and a pending commit just makes
+        # last_wave() smaller, i.e. the deletion floor conservative
+        if cfg.retain_state_snapshots is None:
+            return
+        tables = ["frontier"]
+        if cfg.use_bloom:
+            tables.append(cfg.seen_filter)
+        store.expire_state_snapshots(tables, cfg.retain_state_snapshots)
+
     try:
         while wave < cfg.max_waves:
             if frontier_count == 0:
                 break
+            if (
+                cfg.compact_every is not None
+                and store.delta_dirs_above_base("seen", wave)
+                >= cfg.compact_every
+            ):
+                # maintenance runs BETWEEN waves with the output thread
+                # drained: compaction expires the very dirs an in-flight
+                # read could be scanning, so nothing may be reading
+                # `seen` while it rewrites. State-snapshot expiry below
+                # only deletes versions older than the trailing window
+                # (nothing reads those), but it rides the same drained
+                # point for the fresh last_wave().
+                while pending:
+                    pending.pop(0).result()
+                store.compact(
+                    spark, "seen", wave, width=_file_width(seen_total, cfg)
+                )
+            expire_states()
             t0 = time.time()
             info, finish_outputs = run_wave(
                 spark, store, pagestore, robots, politeness, cfg, wave,
@@ -762,6 +814,9 @@ def run_crawl(
             wave += 1
         for f in pending:
             f.result()
+        # final maintenance pass at the now-committed last wave, so the
+        # retained window is anchored at the crawl's true end state
+        expire_states()
     finally:
         bg.shutdown(wait=True)
     # per-wave fetch counts come from the committed manifests: the count

@@ -203,6 +203,52 @@ class SnapshotStore:
                 shutil.rmtree(os.path.join(self.root, table, name))
         return {"base": upto, "dir": base_name, "expired_versions": expired}
 
+    def delta_dirs_above_base(self, table: str, upto: int) -> int:
+        """Live delta-version dirs a :meth:`read_upto` at ``upto`` must
+        union on top of the base (the whole chain if never compacted) —
+        the auto-compaction trigger's cost proxy: each dir is one extra
+        listing + footer open per read, every wave, forever."""
+        info = self._base_info(table)
+        lo = info[0] + 1 if info is not None else 0
+        return sum(
+            1
+            for w in range(lo, upto + 1)
+            if os.path.isdir(self.table_path(table, w))
+        )
+
+    def expire_state_snapshots(
+        self, tables: list[str], retain_last: int = 2
+    ) -> dict:
+        """Iceberg ``expire_snapshots`` for STATE tables (frontier /
+        bloom / cuckoo — read at exactly one version, so every wave's
+        dir is a FULL copy of the state): delete version dirs older
+        than ``last_wave - retain_last + 1``. At 10^10 scale the
+        frontier and filter snapshots dominate storage — O(waves ×
+        state size) if never expired — while only the trailing
+        ``retain_last`` versions can ever be resumed from (resume reads
+        ``last_wave()`` only; older versions exist purely for time
+        travel). Manifests are kept for all waves: the crawl's history
+        and metrics stay queryable after its state dirs are expired.
+
+        Delta/output tables must not go through here (their old dirs
+        still carry live rows); callers pass the state tables
+        explicitly. Never deletes the last committed version even if
+        ``retain_last`` is 0."""
+        last = self.last_wave()
+        out: dict = {}
+        if last is None:
+            return out
+        floor = last - max(1, int(retain_last)) + 1
+        for table in tables:
+            n = 0
+            for w in range(floor):
+                p = self.table_path(table, w)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                    n += 1
+            out[table] = n
+        return out
+
     def _table_meta(self, table: str) -> tuple[StructType | None, str | None]:
         """(declared schema, declared partition column) from the sidecar.
         Accepts the legacy format (bare schema JSON, no partition spec)."""
