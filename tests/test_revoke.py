@@ -119,6 +119,61 @@ def test_compaction_is_invisible_to_resume(spark, tiny_dir):
     assert m_full == m_cmp
 
 
+def test_compact_crash_states_recover(spark):
+    """The two on-disk states a crash can leave behind:
+
+    (a) base dir written, marker NOT flipped — the orphan dir must be
+        invisible to reads (the delta chain is still authoritative) and
+        a retried compaction must converge, not collide with it;
+    (b) marker flipped, expiry interrupted — a surviving wave dir ≤ base
+        must be ignored by reads (the marker already supersedes it) and
+        swept by the next compaction.
+    """
+    import os
+
+    st = SnapshotStore(tempfile.mkdtemp(prefix="tsio_crash_"))
+    for w, hashes in enumerate([[1, 2], [10], [20, 21]]):
+        st.write(
+            spark.createDataFrame(_seen_pdf(hashes, w, 4)),
+            "seen", w, partition_by="pid",
+        )
+        st.commit(w, {"n": len(hashes)})
+    all_keys = {1, 2, 10, 20, 21}
+
+    # (a) orphaned base dir, no marker
+    orphan = os.path.join(st.root, "seen", "base=2-0")
+    os.makedirs(os.path.join(orphan, "pid=0"))
+    with open(os.path.join(orphan, "pid=0", "junk"), "w") as f:
+        f.write("not parquet")
+    assert st.base_wave("seen") is None
+    got = {r.url_hash for r in st.read_upto(spark, "seen", 2).collect()}
+    assert got == all_keys
+    info = st.compact(spark, "seen", 2)
+    assert info["dir"] != "base=2-0"  # skipped past the orphan…
+    assert not os.path.isdir(orphan)  # …and expired it
+    assert {r.url_hash for r in st.read_upto(spark, "seen", 2).collect()} \
+        == all_keys
+
+    # (b) marker live, one superseded wave dir survived the expiry
+    stale = st.table_path("seen", 1)
+    os.makedirs(os.path.join(stale, "pid=0"))
+    with open(os.path.join(stale, "pid=0", "junk"), "w") as f:
+        f.write("not parquet")
+    assert {r.url_hash for r in st.read_upto(spark, "seen", 2).collect()} \
+        == all_keys
+    assert st.delta_dirs_above_base("seen", 2) == 0
+    # next delta + compaction sweeps the garbage
+    st.write(
+        spark.createDataFrame(_seen_pdf([30], 3, 4)),
+        "seen", 3, partition_by="pid",
+    )
+    st.commit(3, {"n": 1})
+    st.compact(spark, "seen", 3)
+    assert not os.path.isdir(stale)
+    assert {r.url_hash for r in st.read_upto(spark, "seen", 3).collect()} \
+        == all_keys | {30}
+
+
 def test_auto_compaction_bounds_chain_and_preserves_trace(spark, tiny_dir):
     import os
 

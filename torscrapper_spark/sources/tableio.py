@@ -173,10 +173,19 @@ class SnapshotStore:
                 if part_col is not None
                 else df.repartition(width)
             )
-        prev = self._base_info(table)
+        # next generation = 1 + max over EVERY existing base dir, not
+        # just the marker's: a crash between the base-dir publish and
+        # the marker flip leaves an orphaned dir whose name a
+        # marker-only counter would reuse, and os.replace onto a
+        # non-empty dir fails — the retry must skip past the orphan
+        # (which step 3 then expires as normal garbage)
         gen = 0
-        if prev is not None and "-" in prev[1]:
-            gen = int(prev[1].rsplit("-", 1)[1]) + 1
+        for name in os.listdir(os.path.join(self.root, table)):
+            if name.startswith("base=") and "-" in name:
+                try:
+                    gen = max(gen, int(name.rsplit("-", 1)[1]) + 1)
+                except ValueError:
+                    continue
         base_name = f"base={upto}-{gen}"
         tmp = os.path.join(self.root, table, "_compact_tmp")
         if os.path.isdir(tmp):
