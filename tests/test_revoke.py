@@ -300,6 +300,51 @@ def test_revoke_reseed_refetches_exactly_the_revoked(spark, tiny_dir, filt):
     assert (others == 1).all()
 
 
+def test_revoke_forget_unqueues_a_frontier_url(spark, tiny_dir):
+    """Forget-mode revocation of a URL that is still QUEUED (in the
+    frontier, not yet fetched) must remove it from the frontier in the
+    same step it leaves seen — left behind it would fetch the
+    just-revoked content next wave, and (absent from seen) links could
+    re-queue it while queued, the exact double-queue the
+    ``frontier ⊆ seen`` invariant exists to prevent."""
+    ps, seeds, robots, pol = _inputs(spark, tiny_dir)
+    cfg = _cfg(max_waves=2)
+    store = SnapshotStore(tempfile.mkdtemp())
+    C.run_crawl(spark, store, ps, seeds, robots, pol, cfg)
+    w = store.last_wave()
+
+    queued = (
+        store.read(spark, "frontier", w)
+        .select("url", "url_hash").limit(2).toPandas()
+    )
+    assert len(queued) == 2, "fixture must leave a non-empty frontier"
+    out = C.revoke_urls(
+        spark, store, spark.createDataFrame(queued[["url"]]), cfg
+    )
+    assert out["revoked"] == 2  # queued URLs are in seen (frontier ⊆ seen)
+
+    rev_hashes = set(queued["url_hash"])
+    front_now = {
+        r.url_hash
+        for r in store.read(spark, "frontier", w + 1)
+        .select("url_hash").collect()
+    }
+    seen_now = {
+        r.url_hash
+        for r in store.read_upto(spark, "seen", w + 1).collect()
+    }
+    assert not (front_now & rev_hashes)  # unqueued
+    assert not (seen_now & rev_hashes)   # forgotten
+    assert front_now <= seen_now         # invariant survives
+    assert out["frontier_count"] == len(front_now)
+
+    # the resumed crawl never fetches any URL twice: the revoked ones
+    # were never fetched, so even link-rediscovery queues them once
+    C.run_crawl(spark, store, ps, seeds, robots, pol, _cfg(max_waves=w + 3))
+    tr = _trace(spark, store)
+    assert (tr.groupby("url").size() == 1).all()
+
+
 def test_revoke_unknown_urls_is_a_noop(spark, tiny_dir):
     ps, seeds, robots, pol = _inputs(spark, tiny_dir)
     cfg = _cfg(max_waves=2)

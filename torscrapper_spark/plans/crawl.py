@@ -865,10 +865,15 @@ def revoke_urls(
     double-queued) and ``filter ⊇ seen`` (a false negative re-inserts a
     seen URL):
 
-    * ``reseed=False`` — **forget**: the URLs leave the seen set and the
-      filter together, so both invariants hold with the keys simply
-      gone; the crawl re-fetches them IF some later wave's links
-      rediscover them (content purged upstream, a seed list withdrawn).
+    * ``reseed=False`` — **forget**: the URLs leave the seen set, the
+      filter, AND the frontier together — "as if never discovered" — so
+      both invariants hold with the keys simply gone; the crawl fetches
+      them (again) only IF some later wave's links rediscover them
+      (content purged upstream, a seed list withdrawn). A revoked URL
+      still queued must leave the frontier too: left behind it would
+      both fetch the just-revoked content next wave and, being absent
+      from seen, be re-discoverable by links while queued — the exact
+      double-queue ``frontier ⊆ seen`` exists to prevent.
       Steps, in durability order:
 
       1. seen rewrite via :meth:`SnapshotStore.compact` with an
@@ -886,8 +891,10 @@ def revoke_urls(
          degraded shards probe as maybe-seen anyway). The bloom path
          cannot delete, so it REBUILDS from the compacted seen set — a
          full scan, the documented cost of choosing bloom.
-      3. frontier carried forward to ``w+1`` unchanged; manifest commit
-         with the recounted ``seen_total`` and a ``revoked`` audit field.
+      3. frontier carried to ``w+1`` minus the revoked keys (broadcast
+         anti-join — the revocation list is the small side); manifest
+         commit with the recounted ``seen_total``/``frontier_count``
+         and a ``revoked`` audit field.
 
     * ``reseed=True`` — **recrawl now**: the URLs are re-queued at
       depth 0 (dedup-guarded against rows already in the frontier) so
@@ -949,6 +956,12 @@ def revoke_urls(
             )
     else:
         rev_hashes = F.broadcast(rev.select("url_hash"))
+        # forget = as if never discovered: a revoked URL still queued
+        # leaves the frontier in the same step it leaves seen, else the
+        # next wave fetches the just-revoked content and (absent from
+        # seen) links could re-queue it while queued — the double-queue
+        # `frontier ⊆ seen` exists to prevent
+        frontier = frontier.join(rev_hashes, "url_hash", "left_anti")
         out["compaction"] = store.compact(
             spark,
             "seen",
