@@ -345,6 +345,91 @@ def test_revoke_forget_unqueues_a_frontier_url(spark, tiny_dir):
     assert (tr.groupby("url").size() == 1).all()
 
 
+def test_revoke_forget_crash_between_compact_and_commit_repairs(
+    spark, tiny_dir
+):
+    """Forget-mode revocation has exactly one dangerous crash window:
+    the seen compaction's base-dir publish is durable BEFORE the w+1
+    frontier write and manifest commit. A crash in between leaves the
+    store committed at wave ``w`` with the revoked keys gone from seen
+    but still queued (``frontier ⊆ seen`` broken) — and a re-run's
+    seen-membership gate sees zero matches. The re-run must detect the
+    still-queued keys and republish ``w+1`` with them unqueued
+    (``repaired`` audit field), not early-return as a no-op."""
+    ps, seeds, robots, pol = _inputs(spark, tiny_dir)
+    cfg = _cfg(max_waves=2)
+    store = SnapshotStore(tempfile.mkdtemp())
+    C.run_crawl(spark, store, ps, seeds, robots, pol, cfg)
+    w = store.last_wave()
+
+    queued = (
+        store.read(spark, "frontier", w)
+        .select("url", "url_hash").limit(2).toPandas()
+    )
+    assert len(queued) == 2
+    rev_df = spark.createDataFrame(queued[["url"]])
+
+    # crash injection: die on the frontier write — after the durable
+    # seen compaction (and the cuckoo delete's w+1 write), before commit
+    orig_write = store.write
+
+    def boom(df, table, wave, **kw):
+        if table == "frontier":
+            raise RuntimeError("injected crash before frontier write")
+        return orig_write(df, table, wave, **kw)
+
+    store.write = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            C.revoke_urls(spark, store, rev_df, cfg)
+    finally:
+        store.write = orig_write
+
+    # the crashed state: still committed at w, keys gone from seen but
+    # still queued — the exact invariant breach the repair exists for
+    rev_hashes = set(queued["url_hash"])
+    assert store.last_wave() == w
+    seen_mid = {
+        r.url_hash for r in store.read_upto(spark, "seen", w).collect()
+    }
+    front_mid = {
+        r.url_hash
+        for r in store.read(spark, "frontier", w).select("url_hash").collect()
+    }
+    assert not (seen_mid & rev_hashes)
+    assert rev_hashes <= front_mid  # broken: queued but not seen
+
+    # re-running the SAME revocation converges instead of no-opping
+    out = C.revoke_urls(spark, store, rev_df, cfg)
+    assert out["revoked"] == 0 and out["repaired"] == 2
+    assert out["wave"] == w + 1 and store.last_wave() == w + 1
+    m = store.manifest(w + 1)
+    assert m["repaired"] == 2 and m["revoked"] == 0
+
+    front_now = {
+        r.url_hash
+        for r in store.read(spark, "frontier", w + 1)
+        .select("url_hash").collect()
+    }
+    seen_now = {
+        r.url_hash
+        for r in store.read_upto(spark, "seen", w + 1).collect()
+    }
+    assert not (front_now & rev_hashes)
+    assert front_now <= seen_now  # invariant restored
+    assert out["frontier_count"] == len(front_now)
+
+    # a third run of the same revocation is now a true no-op
+    out2 = C.revoke_urls(spark, store, rev_df, cfg)
+    assert out2["revoked"] == 0 and "repaired" not in out2
+    assert store.last_wave() == w + 1
+
+    # and the crawl resumes cleanly: nothing is ever fetched twice
+    C.run_crawl(spark, store, ps, seeds, robots, pol, _cfg(max_waves=w + 3))
+    tr = _trace(spark, store)
+    assert (tr.groupby("url").size() == 1).all()
+
+
 def test_revoke_unknown_urls_is_a_noop(spark, tiny_dir):
     ps, seeds, robots, pol = _inputs(spark, tiny_dir)
     cfg = _cfg(max_waves=2)

@@ -881,9 +881,14 @@ def revoke_urls(
          holding "seen minus revoked" (which also collapses the
          O(waves) delta-dir union every later wave would re-pay). A
          crash after this step leaves the store resumable at wave ``w``
-         with the keys already forgotten: the stale filter's extra
-         fingerprints are mere false positives (the exact residual
-         decides), and re-running the revocation converges.
+         with the keys already forgotten from seen but possibly still
+         queued (``frontier ⊆ seen`` transiently broken): the stale
+         filter's extra fingerprints are mere false positives (the
+         exact residual decides), and re-running the revocation
+         converges — the zero-in-seen early return probes the frontier
+         for still-queued keys (broadcast semi-join, bounded output)
+         and, finding any, republishes ``w+1`` with them unqueued and
+         the filter carried forward (the ``repaired`` audit field).
       2. filter at ``w+1``: the cuckoo path DELETES in place —
          O(revoked) work touching only the affected shards regardless
          of crawl age (a key inserted while its shard was degraded has
@@ -892,9 +897,12 @@ def revoke_urls(
          cannot delete, so it REBUILDS from the compacted seen set — a
          full scan, the documented cost of choosing bloom.
       3. frontier carried to ``w+1`` minus the revoked keys (broadcast
-         anti-join — the revocation list is the small side); manifest
-         commit with the recounted ``seen_total``/``frontier_count``
-         and a ``revoked`` audit field.
+         anti-join — the revocation list is the small side, collected
+         driver-side up front so no post-compaction step carries
+         lineage into the expired delta dirs); manifest commit with the
+         recounted ``seen_total`` and a ``frontier_count`` observed on
+         the write itself (no second scan), plus a ``revoked`` audit
+         field.
 
     * ``reseed=True`` — **recrawl now**: the URLs are re-queued at
       depth 0 (dedup-guarded against rows already in the frontier) so
@@ -908,23 +916,70 @@ def revoke_urls(
     w = store.last_wave()
     if w is None:
         raise ValueError("revoke_urls needs a committed crawl snapshot")
-    keys = (
+    # The revocation list is small by contract (a withdrawn seed file, a
+    # takedown notice) — materialize the canonicalized keys driver-side
+    # ONCE and rebuild them as a local-backed frame. Downstream steps
+    # broadcast this frame, so nothing executed after the compaction
+    # carries lineage into the seen delta dirs compaction expires (a
+    # cache-evicted executor recomputing such lineage would hit deleted
+    # files), and the seen-membership probe scans the 10^10-row seen
+    # table once with a broadcast hash side instead of shuffling it (a
+    # left-semi with the tiny side on the LEFT cannot broadcast its
+    # build side).
+    keys_pdf = (
         urls.select(canonicalize_udf(F.col("url")).alias("url"))
         .distinct()
         .select("url", url_hash_col("url").alias("url_hash"))
+        .toPandas()
     )
-    seen = store.read_upto(spark, "seen", w)
-    rev = keys.join(
-        seen.select("url_hash"), "url_hash", "left_semi"
-    ).persist()
-    n_rev = rev.count()  # bounded by the revocation list's size
     manifest = store.manifest(w)
-    if n_rev == 0:
-        rev.unpersist()
+    if len(keys_pdf) == 0:
         return {"revoked": 0, "wave": w,
                 "seen_total": int(manifest["seen_total"])}
+    keys = spark.createDataFrame(keys_pdf, "url string, url_hash long")
+    key_hashes = F.broadcast(keys.select("url_hash"))
+    seen = store.read_upto(spark, "seen", w)
+    in_seen = {
+        r.url_hash
+        for r in seen.join(key_hashes, "url_hash", "left_semi")
+        .select("url_hash").distinct().collect()
+    }
+    n_rev = len(in_seen)
     frontier = store.read(spark, "frontier", w)
-    out: dict = {"revoked": n_rev, "wave": w + 1}
+    if n_rev == 0:
+        # Nothing in seen: EITHER a true no-op (unknown URLs) OR the
+        # repair half of a crashed forget run — the seen compaction's
+        # base-dir publish is durable BEFORE the w+1 frontier write and
+        # commit, so a crash between them leaves the keys gone from
+        # seen but still queued (`frontier ⊆ seen` broken), and the
+        # membership gate above would wave a naive re-run through as a
+        # no-op. Probe the frontier (broadcast semi, bounded output) to
+        # tell the two apart; re-running the revocation then converges
+        # as the forget contract documents.
+        queued_n = frontier.join(
+            key_hashes, "url_hash", "left_semi"
+        ).count()
+        if queued_n == 0:
+            return {"revoked": 0, "wave": w,
+                    "seen_total": int(manifest["seen_total"])}
+        frontier = frontier.join(key_hashes, "url_hash", "left_anti")
+        # the crash may also have preceded the filter's w+1 write; carry
+        # wave w's filter forward (stale fingerprints are mere false
+        # positives — the exact residual decides)
+        if cfg.use_bloom:
+            store.write(
+                store.read(spark, cfg.seen_filter, w), cfg.seen_filter, w + 1
+            )
+        seen_total = seen.count()  # manifest w's count predates the crash
+        out: dict = {"revoked": 0, "repaired": int(queued_n), "wave": w + 1}
+        return _publish_revocation(
+            store, frontier, manifest, w, 0, seen_total, reseed, cfg, out
+        )
+    rev = spark.createDataFrame(
+        keys_pdf[keys_pdf["url_hash"].isin(in_seen)],
+        "url string, url_hash long",
+    )
+    out = {"revoked": n_rev, "wave": w + 1}
     if reseed:
         # dedup guard against rows already queued — phrased as "probe
         # the frontier with the BROADCAST revocation list" (map-side,
@@ -955,20 +1010,22 @@ def revoke_urls(
                 store.read(spark, cfg.seen_filter, w), cfg.seen_filter, w + 1
             )
     else:
-        rev_hashes = F.broadcast(rev.select("url_hash"))
         # forget = as if never discovered: a revoked URL still queued
         # leaves the frontier in the same step it leaves seen, else the
         # next wave fetches the just-revoked content and (absent from
         # seen) links could re-queue it while queued — the double-queue
-        # `frontier ⊆ seen` exists to prevent
-        frontier = frontier.join(rev_hashes, "url_hash", "left_anti")
+        # `frontier ⊆ seen` exists to prevent. Anti-join on ALL input
+        # keys (not just the in-seen subset) so a re-run over a
+        # partially-applied earlier attempt heals the frontier in the
+        # same pass.
+        frontier = frontier.join(key_hashes, "url_hash", "left_anti")
         out["compaction"] = store.compact(
             spark,
             "seen",
             w,
             width=_file_width(int(manifest.get("seen_total", 0)) or 1, cfg),
             transform=lambda df: df.join(
-                rev_hashes, "url_hash", "left_anti"
+                key_hashes, "url_hash", "left_anti"
             ),
         )
         seen_total = store.read_upto(spark, "seen", w).count()
@@ -987,23 +1044,50 @@ def revoke_urls(
                     cfg.bloom_shards,
                 )
                 store.write(flt, "bloom", w + 1)
+    return _publish_revocation(
+        store, frontier, manifest, w, n_rev, seen_total, reseed, cfg, out
+    )
+
+
+def _publish_revocation(
+    store: SnapshotStore,
+    frontier: DataFrame,
+    manifest: dict,
+    w: int,
+    n_rev: int,
+    seen_total: int,
+    reseed: bool,
+    cfg: CrawlConfig,
+    out: dict,
+) -> dict:
+    """Shared tail of :func:`revoke_urls`: write the ``w+1`` frontier
+    (file width sized to the EXPECTED rows — reseed grows the frontier
+    by up to ``n_rev``, forget/repair only shrink it), ride the row
+    count on the write via ``observe`` (the job_frontier pattern — no
+    second scan of the just-written snapshot), and commit."""
+    from pyspark.sql import Observation
+
+    width = _file_width(
+        int(manifest["frontier_count"]) + (n_rev if reseed else 0), cfg
+    )
+    obs = Observation()
     store.write(
-        frontier.select(*FRONTIER_COLS).repartition(
-            _file_width(int(manifest["frontier_count"]) + n_rev, cfg)
-        ),
+        frontier.select(*FRONTIER_COLS)
+        .repartition(width)
+        .observe(obs, F.count(F.lit(1)).alias("n")),
         "frontier",
         w + 1,
     )
-    n_frontier = store.read(spark, "frontier", w + 1).count()
+    n_frontier = int(obs.get["n"])
     store.commit(
         w + 1,
         {
             "frontier_count": n_frontier,
             "seen_total": seen_total,
             "revoked": n_rev,
+            "repaired": int(out.get("repaired", 0)),
             "reseeded": bool(reseed),
         },
     )
-    rev.unpersist()
     out.update({"seen_total": seen_total, "frontier_count": n_frontier})
     return out
