@@ -30,7 +30,10 @@ import tempfile
 from torscrapper_spark.plans import crawl as C
 from torscrapper_spark.sources.tableio import SnapshotStore
 
-JOB_CEILING = 52  # measured 48; headroom < one reintroduced write/wave
+# measured 48 + 2 per-RUN dimension-validation jobs (run_crawl's
+# duplicate-domain check — once per call, not per wave); headroom < one
+# reintroduced write/wave
+JOB_CEILING = 52
 
 
 class _CountingStore(SnapshotStore):

@@ -229,3 +229,72 @@ def test_bloom_saturation_guard_bounds_fp_rate(spark):
     probed = seen_op.probe_bloom(fresh, bloom, shards).toPandas()
     fp_rate = float(probed["maybe_seen"].mean())
     assert fp_rate < 0.02, fp_rate
+
+
+def test_robots_gate_newline_path_matches_refsim(spark):
+    """HREF_RE's [^"]+ and the canonicalizer's [^?#]* both pass an
+    embedded newline through; the engine's JVM path regex runs DOTALL
+    so its robots gate agrees with the refsim's string-slice path_of —
+    without it the Java `.*` stopped at the newline, the path degraded
+    to "/", and a disallowed URL was crawled (trace divergence)."""
+    from torscrapper_spark.functions.urls import path_of, robots_disallowed
+
+    url = "http://a.onion/p\n/x"
+    assert robots_disallowed(path_of(url), ["/p"])  # refsim blocks it
+    f = _frontier(spark, [(url, 1, "a.onion", 0, 0)])
+    robots = spark.createDataFrame(
+        pd.DataFrame({"domain": ["a.onion"], "disallow": [["/p"]]}),
+        "domain string, disallow array<string>",
+    )
+    assert robots_gate(f, robots).count() == 0  # engine agrees
+
+
+def test_fetch_join_bucketed_store_unbucketed_wave(spark, tiny_dir):
+    """A bucketed store paired with an unbucketed wave (the two are
+    configured independently) must degrade to the unbucketed join, not
+    throw an unresolved-column error from the store's bucket column
+    leaking into the hits/misses union."""
+    from torscrapper_spark.operators.fetch import fetch_join
+    from torscrapper_spark.plans.crawl import load_pagestore
+
+    ps = load_pagestore(spark, f"{tiny_dir}/pagestore.parquet", buckets=8)
+    assert "bucket" in ps.columns
+    some = ps.select("url", "url_hash").limit(3).toPandas()
+    rows = [
+        (u, int(h), "d.onion", 0, 0)
+        for u, h in zip(some["url"], some["url_hash"])
+    ]
+    rows.append(("http://missing.onion/x", 999, "missing.onion", 0, 0))
+    out = fetch_join(_frontier(spark, rows), ps).toPandas()
+    assert len(out) == 4
+    assert sorted(out["status"]) == [200, 200, 200, 404]
+
+
+def test_run_crawl_rejects_duplicate_dimension_domains(spark, tiny_dir):
+    """The refsim's dicts keep one entry per domain; the engine's
+    broadcast joins would fan out every frontier row of a duplicated
+    domain (duplicate fetches, trace divergence). Malformed dimension
+    tables must fail LOUDLY at crawl entry."""
+    import tempfile
+
+    import pytest
+
+    from torscrapper_spark.plans import crawl as C
+    from torscrapper_spark.sources.tableio import SnapshotStore
+
+    ps = C.load_pagestore(spark, f"{tiny_dir}/pagestore.parquet")
+    seeds = spark.read.parquet(f"{tiny_dir}/seeds.parquet")
+    robots = spark.read.parquet(f"{tiny_dir}/robots.parquet")
+    pol = spark.read.parquet(f"{tiny_dir}/politeness.parquet")
+    with pytest.raises(ValueError, match="robots table has"):
+        C.run_crawl(
+            spark, SnapshotStore(tempfile.mkdtemp()), ps, seeds,
+            robots.unionByName(robots.limit(1)), pol,
+            C.CrawlConfig(max_waves=1),
+        )
+    with pytest.raises(ValueError, match="politeness table has"):
+        C.run_crawl(
+            spark, SnapshotStore(tempfile.mkdtemp()), ps, seeds,
+            robots, pol.unionByName(pol.limit(1)),
+            C.CrawlConfig(max_waves=1),
+        )

@@ -74,3 +74,35 @@ def test_missing_page_is_404_not_crash(spark, tiny_tables):
     out = _validate(spark, pdf).sort_values("url_hash").reset_index(drop=True)
     assert out.loc[0, "status"] == 404 and not out.loc[0, "valid"]
     assert out.loc[1, "valid"]
+
+
+def test_null_ref_bytes_invalidates_row_not_task(spark, tiny_tables):
+    """A hostile/real fetcher can emit status-200 rows whose REFERENCE
+    side is missing or corrupt; both decodes sit inside the per-row try
+    so the row is invalidated instead of the mapInPandas task dying."""
+    pdf = _rows(tiny_tables)
+    i = pdf.index[0]
+    pdf.loc[i, "ref_bytes"] = None  # status stays 200
+    out = _validate(spark, pdf).sort_values("url_hash").reset_index(drop=True)
+    assert not out.loc[0, "decode_ok"] and not out.loc[0, "valid"]
+    assert out.loc[1:, "valid"].all()
+
+
+def test_offgrid_dimensions_fail_phash_not_task(spark, tiny_tables):
+    """avg_phash's precondition is h, w multiples of 8; fetched
+    dimensions are untrusted, so an off-grid size must fail the phash
+    GATE (row invalid) rather than crash the batched reshape."""
+    import numpy as np
+
+    pdf = _rows(tiny_tables, 2)
+    i = pdf.index[0]
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    pdf.loc[i, "bytes"] = encode(px, "zlib-rgb")
+    pdf.loc[i, "ref_bytes"] = encode(px, "zlib-rgb")
+    pdf.loc[i, "fmt"] = "zlib-rgb"
+    pdf.loc[i, ["w", "h"]] = 12
+    out = _validate(spark, pdf).sort_values("url_hash").reset_index(drop=True)
+    assert out.loc[0, "decode_ok"] and out.loc[0, "psnr_ok"]
+    assert not out.loc[0, "phash_match"] and not out.loc[0, "valid"]
+    assert out.loc[1, "valid"]

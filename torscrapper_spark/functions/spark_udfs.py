@@ -30,6 +30,15 @@ def domain_col(url_col: str | Column) -> Column:
 
 
 def path_col(url_col: str | Column) -> Column:
-    """Path(+query) of a canonical URL; '/' when absent. JVM-side."""
-    p = F.regexp_extract(url_col, r"^[a-z][a-z0-9+.\-]*://[^/?#]+([/?].*)?$", 1)
+    """Path(+query) of a canonical URL; '/' when absent. JVM-side.
+
+    ``(?s)`` (DOTALL) keeps this bit-equivalent to the refsim's
+    ``urls.path_of`` string slice on hostile inputs: HREF_RE's
+    ``[^"]+`` and the canonicalizer's ``[^?#]*`` both pass an embedded
+    newline through, and without DOTALL the Java ``.*`` cannot cross
+    it — the whole match failed, the path degraded to "/", and a
+    disallow prefix the refsim enforced was silently bypassed."""
+    p = F.regexp_extract(
+        url_col, r"(?s)^[a-z][a-z0-9+.\-]*://[^/?#]+([/?].*)?$", 1
+    )
     return F.when(p == "", F.lit("/")).otherwise(p)

@@ -79,6 +79,12 @@ def fetch_join(selected: DataFrame, pagestore: DataFrame) -> DataFrame:
             if wave_buckets
             else pagestore.filter(F.lit(False))
         )
+    if "bucket" in pagestore.columns and "bucket" not in join_keys:
+        # a bucketed store paired with an unbucketed wave (the two are
+        # configured independently): degrade to the unbucketed join
+        # instead of leaking the store's bucket column into `hits`,
+        # which `misses.select(*hits.columns)` could never resolve
+        pagestore = pagestore.drop("bucket")
     hits = pagestore.join(F.broadcast(selected), join_keys, "inner")
     # 404s: anti-join against the store's KEY columns (column-pruned
     # scan — never re-reads the payload; deriving misses from `hits`
@@ -118,11 +124,19 @@ def fetch_join(selected: DataFrame, pagestore: DataFrame) -> DataFrame:
 # the same pages; persistent buffers pay that cost exactly once.
 _CHUNK = 64
 _SCRATCH: dict[tuple[int, int], dict[str, np.ndarray]] = {}
+# LRU bound: each (h, w) entry pins ~26·_CHUNK·h·w bytes (~109 MB at
+# 256²) for the worker's lifetime; against a real store with
+# heterogeneous image sizes an unbounded dict would OOM the Python
+# worker after a few dozen distinct sizes. 4 entries cover the
+# realistic per-batch size mix while keeping the worst case bounded.
+_SCRATCH_MAX = 4
 
 
 def _bufs(h: int, w: int) -> dict[str, np.ndarray]:
-    b = _SCRATCH.get((h, w))
+    b = _SCRATCH.pop((h, w), None)
     if b is None:
+        while len(_SCRATCH) >= _SCRATCH_MAX:
+            _SCRATCH.pop(next(iter(_SCRATCH)))  # evict least-recent
         shape = (_CHUNK, h, w, 3)
         b = {
             "a": np.zeros(shape, np.uint8),
@@ -131,7 +145,7 @@ def _bufs(h: int, w: int) -> dict[str, np.ndarray]:
             "sq": np.zeros(shape, np.int32),
             "gray3": np.zeros((_CHUNK, h, w), np.uint16),
         }
-        _SCRATCH[(h, w)] = b
+    _SCRATCH[(h, w)] = b  # (re)insert at the most-recent end
     return b
 
 
@@ -156,11 +170,16 @@ def _validate_group(
         good = []
         for i in chunk:
             j = len(good)
+            # BOTH decodes sit inside the try: a bad payload must
+            # invalidate the ROW, never kill the task — and against a
+            # real fetcher the reference side is as untrusted as the
+            # fetched side (a None/truncated ref_bytes on a status-200
+            # row raises here too)
             try:
                 a_buf[j] = decode(bytes(byte_vals[i]), fmt, w, h)
+                r_buf[j] = decode(bytes(ref_vals[i]), "zlib-rgb", w, h)
             except Exception:
                 continue
-            r_buf[j] = decode(bytes(ref_vals[i]), "zlib-rgb", w, h)
             good.append(i)
         if not good:
             continue
@@ -188,7 +207,12 @@ def _validate_group(
         # batched avg_phash: the same exact-integer formulation as
         # codecs.avg_phash (64·block_sum > total_sum over uint16
         # channel sums), so stored hashes reproduce bit-exactly with
-        # no float rounding anywhere
+        # no float rounding anywhere. avg_phash's documented
+        # precondition is h, w multiples of 8 — fetched dimensions are
+        # untrusted data, so an off-grid size fails the phash GATE
+        # (phash_match stays False) instead of crashing the reshape
+        if h % 8 or w % 8:
+            continue
         g3 = bufs["gray3"][:k]
         np.sum(a, axis=3, dtype=np.uint16, out=g3)
         blocks3 = g3.reshape(k, 8, h // 8, 8, w // 8).sum(

@@ -49,7 +49,14 @@ def with_global_seq(
         offsets.append((pid, acc))
         acc += cnt
     if not offsets:
-        return df.withColumn(out_col, F.lit(None).cast("long")).limit(0)
+        # empty input: release the (empty) cache registered above and
+        # still honor the documented contract — callers unpersist
+        # `_seq_cache` after materializing, so it must exist on every
+        # return path
+        d1.unpersist()
+        out = df.withColumn(out_col, F.lit(None).cast("long")).limit(0)
+        out._seq_cache = d1  # type: ignore[attr-defined]
+        return out
     off_df = spark.createDataFrame(offsets, "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     out = (

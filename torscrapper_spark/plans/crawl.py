@@ -736,6 +736,23 @@ def run_crawl(
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    # LOUD on malformed dimension tables, once per run (two tiny agg
+    # jobs — not per wave): the reference simulator's dicts keep one
+    # entry per domain, while the engine's broadcast joins would fan
+    # out every frontier row of a duplicated domain — duplicate fetches
+    # with distinct seq values, a silent trace divergence the
+    # equivalence tests exist to prevent.
+    for dim_name, dim in (("robots", robots), ("politeness", politeness)):
+        dup = (
+            dim.groupBy("domain").count()
+            .filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"{dim_name} table has {dup[0]['count']} rows for domain "
+                f"{dup[0]['domain']!r}; dimension tables must be unique "
+                "per domain (the reference keeps one entry per domain)"
+            )
     if store.last_wave() is None:
         init_state(spark, store, seeds, robots, cfg)
     wave = store.last_wave()
