@@ -76,7 +76,6 @@ CACHE_DIR = os.environ.get("TS_CACHE_DIR", os.path.join(REPO, ".cache"))
 SCALE_NS = [
     int(x) for x in os.environ.get("TS_SCALE_NS", "4,6").split(",")
 ]
-SCALE_PAIR = (SCALE_NS[0], SCALE_NS[0] * 4)  # headline pair
 
 PS_COLS = [
     "url", "image_id", "bytes", "w", "h", "fmt", "caption",
@@ -469,7 +468,9 @@ def run_headline_queries(spark, sf_dir: str) -> dict:
     for name in HEADLINE_QUERIES:
         fn, _sql = reg[name]
         best = None
-        for _ in range(_env_int("TS_BENCH_QUERY_REPEAT", 3)):
+        # clamped ≥ 1: a 0 repeat count would leave best=None and crash
+        # the report-time sum after the whole bench already ran
+        for _ in range(max(1, _env_int("TS_BENCH_QUERY_REPEAT", 3))):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
@@ -565,7 +566,10 @@ def main():
         )
         r["probe_ms"] = [probe_before, tenancy_probe()]
         r["trace_fp"] = trace_fingerprint(spark, r["snap_dir"])
-        del r["snap_dir"]
+        # the multi-GB crawl-state store is evidence-free once the
+        # fingerprint is taken; leaking one per leg (9+ per campaign)
+        # filled /tmp over a round and killed later legs on ENOSPC
+        shutil.rmtree(r.pop("snap_dir"), ignore_errors=True)
         with open(out_path, "w") as f:
             json.dump(r, f)
         return
@@ -618,7 +622,15 @@ def main():
                 script = os.path.join(stage, "bench_submit.py")
                 shutil.copy(os.path.abspath(__file__), script)
                 env["TS_CACHE_DIR"] = CACHE_DIR
-                mem = env.get("SPARK_DRIVER_MEM", "8g")
+                # mirror the in-process legs' per-mode heap choice: the
+                # child's own SPARK_DRIVER_MEM=8g override cannot resize
+                # an already-running spark-submit JVM, so without this
+                # the submit leg ran 16g against in-process-8g numbers —
+                # a config skew in the published deployment evidence
+                mem = (
+                    "8g" if mode == "scaling"
+                    else env.get("SPARK_DRIVER_MEM", "8g")
+                )
                 cmd = [
                     shutil.which("spark-submit") or "spark-submit",
                     "--master", f"local[{n}]",
@@ -732,7 +744,7 @@ def main():
             }
         write_baseline_md(campaigns, ceiling,
                           store_results, store_eff, store_identical,
-                          submit_info)
+                          submit_info, store_sf=sf)
         pair = head["pair"]
         line = {
             "metric": f"scaling_efficiency_{pair[0]}_to_{pair[1]}",
@@ -793,11 +805,14 @@ def main():
     # samples stood unexplained).
     crawl = None
     crawl_repeats = []
-    for _ in range(_env_int("TS_BENCH_CRAWL_REPEAT", 3)):
+    # clamped ≥ 1 like the scaling rep_spec (ADVICE.md r4): a 0 repeat
+    # count must not leave crawl=None and crash at report time
+    for _ in range(max(1, _env_int("TS_BENCH_CRAWL_REPEAT", 3))):
         probe = tenancy_probe()
         r = run_crawl_bench(
             spark, graph_dir, crawl_cfg_for("default", buckets_for(cfg))
         )
+        shutil.rmtree(r.pop("snap_dir"), ignore_errors=True)
         crawl_repeats.append({
             "probe_ms": probe,
             "urls_per_sec": r["urls_per_sec"],
@@ -825,7 +840,8 @@ def main():
 
 def write_baseline_md(campaigns, ceiling,
                       store_results=None, store_eff=None,
-                      store_identical=None, submit_info=None):
+                      store_identical=None, submit_info=None,
+                      store_sf: float = 0.1):
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     cfg = scaling_graph_cfg()
     n_pages = cfg.n_domains * cfg.pages_per_domain
@@ -1003,7 +1019,10 @@ def write_baseline_md(campaigns, ceiling,
             f"**{submit_info['matches_in_process']}**",
         ]
     if store_results is not None:
-        dcfg = default_graph_cfg(0.1)
+        # describe the graph the store legs ACTUALLY crawled (sf is
+        # passed through to the subprocess), not a hardcoded 0.1 —
+        # the frozen-protocol document must not misstate its input
+        dcfg = default_graph_cfg(store_sf)
         lines += [
             "",
             "## Secondary: store-join fetch (materialized memory-pinned "

@@ -121,3 +121,26 @@ def test_resume_after_store_layout_upgrade(spark, tiny_dir, tmp_store_dir):
         )
 
     assert trace(s_full).equals(trace(s_up))
+
+
+def test_compact_refuses_mixed_layout_store(spark):
+    """Compacting a mixed-layout legacy store would durably write a base
+    missing the bucket column the sidecar still declares — every later
+    read would resurface it all-NULL and `pid IN` pruning would skip the
+    whole compacted seen set (previously-seen URLs re-crawled). The
+    store must refuse loudly instead."""
+    st = _store(spark, [_pdf([1, 2, 3], 0, with_pid=4)], partition_by="pid")
+    v0 = st.table_path("seen", 0)
+    shutil.rmtree(v0)
+    spark.createDataFrame(_pdf([1, 2, 3], 0)).write.parquet(v0)
+    st.write(
+        spark.createDataFrame(_pdf([7, 8], 1, with_pid=4)), "seen", 1,
+        partition_by="pid",
+    )
+    st.commit(1, {"n": 2})
+    with pytest.raises(ValueError, match="would drop column"):
+        st.compact(spark, "seen", 1)
+    # the refusal left the store fully readable, nothing expired
+    assert {r.url_hash for r in st.read_upto(spark, "seen", 1).collect()} \
+        == {1, 2, 3, 7, 8}
+    assert st.base_wave("seen") is None

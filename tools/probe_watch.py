@@ -111,8 +111,23 @@ def main() -> None:
     os.makedirs(BENCH_DIR, exist_ok=True)
     from bench import tenancy_probe
 
-    fires = 0
-    log_line(event="watcher_start", interval=interval, thresh=thresh)
+    # resume the fire counter from the evidence files on disk: a
+    # restarted watcher starting at 0 would truncate-overwrite
+    # scaling_<r>_fire1.json/.log (destroying the earlier fire's
+    # published evidence) and could exceed the per-round fire bound
+    import re
+
+    fires = max(
+        (
+            int(m.group(1))
+            for n in os.listdir(BENCH_DIR)
+            for m in [re.match(rf"scaling_{ROUND}_fire(\d+)\.json$", n)]
+            if m
+        ),
+        default=0,
+    )
+    log_line(event="watcher_start", interval=interval, thresh=thresh,
+             fires=fires)
     while True:
         p = tenancy_probe()
         armed = os.path.exists(ARMED) and not os.path.exists(HOLD)

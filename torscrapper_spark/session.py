@@ -63,8 +63,13 @@ def get_spark(
 
 
 def _master_cores(master: str) -> int:
+    if master == "local":
+        return 1  # bare 'local' is single-threaded
     if master.startswith("local["):
-        inner = master[len("local["):-1]
+        # 'local[N]', 'local[*]', and the task-retry form 'local[N,F]'
+        # (whose thread count is still N — int('N,F') must not fall
+        # back to 4 and halve the shuffle sizing)
+        inner = master[len("local["):-1].split(",", 1)[0].strip()
         if inner == "*":
             return os.cpu_count() or 4
         try:

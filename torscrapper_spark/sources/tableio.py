@@ -114,6 +114,13 @@ class SnapshotStore:
                     "schema": json.loads(df.schema.json()),
                     "partition_by": partition_by,
                 }, f)
+                # fsync before rename, same discipline as commit() and
+                # the base marker: without it a power loss can expose a
+                # ZERO-LENGTH sidecar, and every later read/write of the
+                # table dies in json.load — bricking the store the
+                # crash-safety contract promises stays readable
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, sidecar)
 
     # ---- delta compaction (Iceberg rewrite_data_files + expire_snapshots) ----
@@ -167,6 +174,24 @@ class SnapshotStore:
         df = self.read_upto(spark, table, upto)
         if transform is not None:
             df = transform(df)
+        missing = [c for c in schema.fieldNames() if c not in df.columns]
+        if missing:
+            # A mixed-layout LEGACY store (flat + bucketed version dirs
+            # under a bare sidecar) reads back with the bucket column
+            # dropped (read_upto trades pruning for correctness there).
+            # Compacting that frame would durably write a base missing
+            # columns the sidecar still declares — every later read
+            # resurfaces them as all-NULL, and a null bucket silently
+            # fails `pid IN` pruning (previously-seen URLs re-crawled).
+            # Refuse loudly instead; same guard catches a transform
+            # that drops columns.
+            raise ValueError(
+                f"compact of table '{table}' would drop column(s) "
+                f"{missing} still declared by the schema sidecar "
+                "(mixed-layout legacy store or column-dropping "
+                "transform); migrate the store to a uniform layout "
+                "before compacting"
+            )
         if width is not None:
             df = (
                 df.repartition(width, part_col)

@@ -22,11 +22,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Lifetime bound for per-call scratch state (same pattern as
+# queries._Q33_CACHE): the returned sink table must stay readable for
+# the caller, so each invocation instead releases its PREDECESSOR's
+# scratch dir / memory table — bounding the leak to one per kind per
+# session instead of one per invocation across every repeat.
+_SCRATCH_DIRS: list[str] = []
+_SINK_TABLES: list[str] = []
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table (file source needs a directory,
     so the single parquet file is symlinked into a scratch dir)."""
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     d = tempfile.mkdtemp(prefix="evstream_")
+    _SCRATCH_DIRS.append(d)
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
     s = spark.readStream.schema(schema).parquet(d)
     # watermarks/event-time ops require TIMESTAMP; the parquet column is
@@ -36,6 +50,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     """Start → drain → stop a streaming query; return the sink table."""
+    spark = df.sparkSession
+    while _SINK_TABLES:
+        try:
+            spark.catalog.dropTempView(_SINK_TABLES.pop())
+        except Exception:
+            pass  # different session or already gone
     name = "snk_" + uuid.uuid4().hex[:12]
     q = (
         df.writeStream.outputMode(output_mode)
@@ -47,7 +67,8 @@ def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return df.sparkSession.table(name)
+    _SINK_TABLES.append(name)
+    return spark.table(name)
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
