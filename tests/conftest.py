@@ -28,7 +28,11 @@ def tiny_dir(tiny_tables):
 
 @pytest.fixture()
 def tmp_store_dir():
-    return tempfile.mkdtemp(prefix="tsnap_")
+    import shutil
+
+    d = tempfile.mkdtemp(prefix="tsnap_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")

@@ -57,7 +57,9 @@ def test_cuckoo_crawl_matches_golden_and_bloom(
             seen_filter="cuckoo", bloom_shards=4, cuckoo_buckets=1 << 10,
         ),
     )
-    bloom_dir = tempfile.mkdtemp()
+    # auto-cleaned scratch (raw mkdtemp leaked a full 3-wave snapshot
+    # store per test run)
+    bloom_dir = tempfile.mkdtemp(prefix="tsnap_")
     bloom_store = SnapshotStore(bloom_dir)
     C.run_crawl(
         spark, bloom_store, ps, seeds, robots, pol,
@@ -91,6 +93,9 @@ def test_cuckoo_crawl_matches_golden_and_bloom(
         ).collect()
     }
     assert c_seen == b_seen
+    import shutil
+
+    shutil.rmtree(bloom_dir, ignore_errors=True)
 
 
 def test_cuckoo_probe_no_false_negatives_and_low_fp(spark):
@@ -334,3 +339,83 @@ def test_cuckoo_saturation_guard_rebuilds(spark, tiny_tables, tiny_dir,
         not r.degraded and r.used_slots <= 0.8 * r.nbuckets * 4
         for r in fills
     ), fills
+
+
+def test_rebuild_shard_degraded_records_allocated_size():
+    """When the rebuild gives up degraded at the size cap, the recorded
+    nbuckets must match the table bytes actually allocated — the old
+    code doubled nbuckets before breaking, and the next wave's
+    update/delete reshape on that shard crashed the crawl."""
+    from torscrapper_spark.operators.cuckoo import _SLOTS, _rebuild_shard
+
+    h = np.arange(1, 20, dtype=np.int64)  # 19 keys >> 2 buckets × 4 slots
+    row = _rebuild_shard(7, h, 2, max_nbuckets=2).iloc[0]
+    assert bool(row.degraded)
+    assert int(row.nbuckets) == 2
+    assert len(row.table) == int(row.nbuckets) * _SLOTS * 2  # uint16 bytes
+
+    # success path: with room to grow the same keys place cleanly and
+    # the size/bytes invariant still holds
+    ok = _rebuild_shard(7, h, 2).iloc[0]
+    assert not bool(ok.degraded)
+    assert len(ok.table) == int(ok.nbuckets) * _SLOTS * 2
+
+
+def test_grow_cuckoo_keeps_empty_saturated_shard(spark):
+    """A degraded shard whose full key set is EMPTY (every key revoked
+    before the guard fired) must come back as a fresh empty row, not
+    vanish from the filter table — a missing shard row would disable
+    the fast path for that pid forever (probe answers all-true and
+    updates never re-insert)."""
+    from torscrapper_spark.operators import cuckoo as CK
+
+    filt = spark.createDataFrame(
+        pd.DataFrame({
+            "pid": pd.Series([0, 1], dtype="int32"),
+            "table": [np.zeros((8, 4), np.uint16).tobytes()] * 2,
+            "nbuckets": pd.Series([8, 8], dtype="int32"),
+            "degraded": pd.Series([False, True], dtype="bool"),
+        }),
+        CK.CUCKOO_SCHEMA,
+    )
+    empty = spark.createDataFrame(
+        pd.DataFrame({"url_hash": pd.Series([], dtype="int64")}),
+        "url_hash long",
+    )
+    out = CK.grow_saturated_cuckoo(spark, filt, empty, empty, 2).toPandas()
+    filt.unpersist()
+    assert sorted(out["pid"]) == [0, 1]
+    row = out[out["pid"] == 1].iloc[0]
+    assert not bool(row.degraded)
+    assert len(row.table) == int(row.nbuckets) * 4 * 2
+    assert not np.frombuffer(row.table, dtype=np.uint16).any()
+
+
+def test_delete_cuckoo_skips_degraded_shards(spark):
+    """delete on a degraded shard is a no-op (its contents are never
+    trusted; post-degradation keys were never inserted, so a delete
+    could only remove a colliding live key's fingerprint copy)."""
+    from torscrapper_spark.operators import cuckoo as CK
+
+    # a REAL stored fingerprint, so a non-skipping delete would clear it
+    h = np.array([123456789], dtype=np.int64)  # pid = h % 2 = 1
+    tab = np.zeros((8, CK._SLOTS), np.uint16)
+    assert CK._insert(tab, 8, h.view(np.uint64))
+    marker = tab.tobytes()
+    filt = spark.createDataFrame(
+        pd.DataFrame({
+            "pid": pd.Series([1], dtype="int32"),
+            "table": [marker],
+            "nbuckets": pd.Series([8], dtype="int32"),
+            "degraded": pd.Series([True], dtype="bool"),
+        }),
+        CK.CUCKOO_SCHEMA,
+    )
+    keys = spark.createDataFrame(
+        pd.DataFrame({"url_hash": pd.Series(h, dtype="int64")}),
+        "url_hash long",
+    )
+    out = CK.delete_cuckoo(filt, keys, 2).toPandas()
+    row = out[out["pid"] == 1].iloc[0]
+    assert bool(row.degraded)
+    assert bytes(row.table) == marker  # untouched

@@ -298,3 +298,32 @@ def test_run_crawl_rejects_duplicate_dimension_domains(spark, tiny_dir):
             robots, pol.unionByName(pol.limit(1)),
             C.CrawlConfig(max_waves=1),
         )
+
+
+def test_grow_bloom_keeps_empty_saturated_shard(spark):
+    """Bloom twin of the cuckoo empty-rebuild guard: a saturated shard
+    whose full key set is empty must come back as a fresh empty bitmap,
+    not vanish (probe would answer maybe_seen=True for that pid
+    forever)."""
+    nbits = 64
+    full = np.full(nbits // 8, 0xFF, np.uint8).tobytes()
+    empty_bm = np.zeros(nbits // 8, np.uint8).tobytes()
+    bloom = spark.createDataFrame(
+        pd.DataFrame({
+            "pid": pd.Series([0, 1], dtype="int32"),
+            "bitmap": [empty_bm, full],
+            "nbits": pd.Series([nbits, nbits], dtype="int32"),
+            "k": pd.Series([3, 3], dtype="int32"),
+        }),
+        seen_op.BLOOM_SCHEMA,
+    )
+    empty = spark.createDataFrame(
+        pd.DataFrame({"url_hash": pd.Series([], dtype="int64")}),
+        "url_hash long",
+    )
+    out = seen_op.grow_saturated_shards(spark, bloom, empty, empty, 2).toPandas()
+    bloom.unpersist()
+    assert sorted(out["pid"]) == [0, 1]
+    row = out[out["pid"] == 1].iloc[0]
+    assert bytes(row.bitmap) == empty_bm  # rebuilt fresh-empty
+    assert int(row.nbits) == nbits and int(row.k) == 3

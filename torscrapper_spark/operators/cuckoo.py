@@ -56,6 +56,10 @@ from .seen import saturated_shard_keys, with_pid
 CUCKOO_SCHEMA = "pid int, table binary, nbuckets int, degraded boolean"
 
 _SLOTS = 4
+# rebuild size cap: a shard that cannot place its keys even at this
+# many buckets gives up degraded (module-level so tests can drive the
+# degraded path without allocating a 2^30-bucket table)
+_MAX_NBUCKETS = 1 << 30
 _MAX_KICKS = 500
 _FP_MULT = np.uint64(0x5BD1)
 
@@ -254,7 +258,11 @@ def delete_cuckoo(filt: DataFrame, keys: DataFrame, num_shards: int
         tab = np.frombuffer(row.table, dtype=np.uint16).reshape(
             nbuckets, _SLOTS
         ).copy()
-        if len(hashes_it):
+        # skip degraded shards, mirroring update_cuckoo: their contents
+        # are never trusted (probe answers all-true, rebuilds discard
+        # them), and post-degradation keys were never inserted — a
+        # delete could only remove a colliding live key's copy
+        if len(hashes_it) and not bool(row.degraded):
             _delete(
                 tab, nbuckets,
                 hashes_it["url_hash"].to_numpy().astype(np.int64)
@@ -329,6 +337,39 @@ def cuckoo_fill(filt: DataFrame) -> DataFrame:
     )
 
 
+def _rebuild_shard(
+    pid: int, hashes_i64: np.ndarray, nbuckets: int,
+    max_nbuckets: int | None = None,
+) -> pd.DataFrame:
+    """Rebuild one shard's table from its full key set at nbuckets
+    doubled until expected load ≤ 0.5 (module-level kernel so the
+    degraded path is unit-testable without a 2^30-bucket allocation)."""
+    cap = _MAX_NBUCKETS if max_nbuckets is None else max_nbuckets
+    h = np.unique(hashes_i64)
+    while len(h) / (nbuckets * _SLOTS) > 0.5 and nbuckets * 2 <= cap:
+        nbuckets *= 2
+    degraded = False
+    while True:
+        tab = np.zeros((nbuckets, _SLOTS), dtype=np.uint16)
+        if _insert(tab, nbuckets, h.view(np.uint64)):
+            break
+        if nbuckets * 2 > cap:
+            # pathological collision set at the size cap: give up
+            # degraded. The recorded nbuckets MUST stay the size tab was
+            # ALLOCATED at — doubling it first (the old code) published
+            # a row whose nbuckets disagreed with its table bytes, and
+            # the next wave's update/delete reshape on that shard
+            # crashed the crawl instead of the documented safe all-true
+            # degradation.
+            degraded = True
+            break
+        nbuckets *= 2  # keep doubling and retry
+    return pd.DataFrame({
+        "pid": [pid], "table": [tab.tobytes()],
+        "nbuckets": [nbuckets], "degraded": [degraded],
+    })
+
+
 def grow_saturated_cuckoo(
     spark,
     filt_next: DataFrame,
@@ -356,27 +397,32 @@ def grow_saturated_cuckoo(
         return filt_next
     keys = saturated_shard_keys(seen, delta, sat, num_shards)
 
-    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = int(pdf["pid"].iloc[0])
-        nbuckets = sat[pid]
-        h = np.unique(pdf["url_hash"].to_numpy().astype(np.int64))
-        while len(h) / (nbuckets * _SLOTS) > 0.5:
-            nbuckets *= 2
-        degraded = False
-        while True:
-            tab = np.zeros((nbuckets, _SLOTS), dtype=np.uint16)
-            if _insert(tab, nbuckets, h.view(np.uint64)):
-                break
-            nbuckets *= 2  # pathological collision set: keep doubling
-            if nbuckets > 1 << 30:
-                degraded = True
-                break
-        return pd.DataFrame({
-            "pid": [pid], "table": [tab.tobytes()],
-            "nbuckets": [nbuckets], "degraded": [degraded],
-        })
-
     rebuilt = keys.groupBy("pid").applyInPandas(
-        lambda key, pdf: rebuild(pdf), CUCKOO_SCHEMA
+        lambda key, pdf: _rebuild_shard(
+            int(pdf["pid"].iloc[0]),
+            pdf["url_hash"].to_numpy().astype(np.int64),
+            sat[int(pdf["pid"].iloc[0])],
+        ),
+        CUCKOO_SCHEMA,
     )
+    # a saturated/degraded pid whose key set is EMPTY (every key revoked
+    # before the guard fired) produces no applyInPandas group; without a
+    # fresh row the shard would vanish from the filter table — updates
+    # would never re-insert for it and probe would answer all-true
+    # forever. Rebuild-from-empty is just an empty table.
+    present = {int(r.pid) for r in keys.select("pid").distinct().collect()}
+    missing = [p for p in sat if p not in present]
+    if missing:
+        fresh = pd.DataFrame({
+            "pid": pd.Series(missing, dtype="int32"),
+            "table": [
+                np.zeros((sat[p], _SLOTS), np.uint16).tobytes()
+                for p in missing
+            ],
+            "nbuckets": pd.Series([sat[p] for p in missing], dtype="int32"),
+            "degraded": pd.Series([False] * len(missing), dtype="bool"),
+        })
+        rebuilt = rebuilt.unionByName(
+            spark.createDataFrame(fresh, CUCKOO_SCHEMA)
+        )
     return filt_next.filter(~F.col("pid").isin(*sat)).unionByName(rebuilt)

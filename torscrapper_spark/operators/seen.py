@@ -200,7 +200,13 @@ def grow_saturated_shards(
     def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(pdf["pid"].iloc[0])
         nbits, k = sat[pid]
-        hashes = pdf["url_hash"].to_numpy()
+        # dedup before SIZING (the cuckoo twin does the same): the key
+        # scan unions the seen snapshot with this wave's delta, which
+        # may already be visible in it — sizing on up-to-2× duplicated
+        # counts could double nbits one extra time, a permanently
+        # 2×-larger bitmap for no FP-rate need. _set_bits itself is
+        # duplicate-safe (idempotent OR).
+        hashes = np.unique(pdf["url_hash"].to_numpy())
         n = len(hashes)
         while k * n / nbits > 0.3:
             nbits *= 2
@@ -214,6 +220,25 @@ def grow_saturated_shards(
     rebuilt = keys.groupBy("pid").applyInPandas(
         lambda key, pdf: rebuild(pdf), BLOOM_SCHEMA
     )
+    # a saturated pid with an EMPTY key set (every key revoked before
+    # the guard fired) produces no applyInPandas group; without a fresh
+    # row the shard would vanish and probe would answer maybe_seen=True
+    # for it forever (cuckoo twin has the same guard)
+    present = {int(r.pid) for r in keys.select("pid").distinct().collect()}
+    missing = [p for p in sat if p not in present]
+    if missing:
+        fresh = pd.DataFrame({
+            "pid": pd.Series(missing, dtype="int32"),
+            "bitmap": [
+                np.zeros(sat[p][0] // 8, np.uint8).tobytes()
+                for p in missing
+            ],
+            "nbits": pd.Series([sat[p][0] for p in missing], dtype="int32"),
+            "k": pd.Series([sat[p][1] for p in missing], dtype="int32"),
+        })
+        rebuilt = rebuilt.unionByName(
+            spark.createDataFrame(fresh, BLOOM_SCHEMA)
+        )
     return bloom_next.filter(~F.col("pid").isin(*sat)).unionByName(rebuilt)
 
 
