@@ -1,0 +1,194 @@
+"""Multimodal resize + frame-sample operators (operators/media.py).
+
+The pipeline's arithmetic is pinned against a DuckDB oracle the same
+way the driver pins the 50 registry queries: the synthetic corpus
+derives every pixel from the closed form media.PIX_SQL, so DuckDB can
+recompute the exact pix_sum / frame_sum the Spark mapInPandas stages
+emit — value-for-value, no tolerance. The resized BYTES are pinned
+against a pure-numpy reference (the oracle covers the arithmetic, the
+reference covers the codec round-trip), and the plan is asserted
+shuffle-free (a map stage must not move rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+from torscrapper_spark.functions import codecs
+from torscrapper_spark.operators import media
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+DOCS = f"{SF_DIR}/documents.parquet"
+N_DOCS = 40
+W = H = 16
+FACTOR = 2
+NFRAMES = 8
+EVERY = 3
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(DOCS)
+        .orderBy("doc_id").limit(N_DOCS).select("doc_id")
+    )
+
+
+# ---------- kernel ----------
+
+def test_resize_area_matches_naive_loop():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(12, 8, 3), dtype=np.uint8)
+    got = codecs.resize_area(px, 4)
+    assert got.shape == (3, 2, 3) and got.dtype == np.uint8
+    for oy in range(3):
+        for ox in range(2):
+            for c in range(3):
+                block = px[oy * 4:(oy + 1) * 4, ox * 4:(ox + 1) * 4, c]
+                assert got[oy, ox, c] == int(block.astype(np.int64).sum()) // 16
+
+
+def test_resize_area_validation():
+    px = np.zeros((8, 8, 3), np.uint8)
+    assert codecs.resize_area(px, 1) is not px  # copy, not alias
+    with pytest.raises(ValueError):
+        codecs.resize_area(px, 3)  # 3 does not divide 8
+    with pytest.raises(ValueError):
+        codecs.resize_area(px.astype(np.int32), 2)
+
+
+def test_synth_pixels_matches_pix_sql_formula():
+    seed, frame = 4321, 5
+    px = media.synth_pixels(seed, 4, 3, frame)
+    for y in range(3):
+        for x in range(4):
+            for c in range(3):
+                want = (seed * 29 + frame * 17 + x * 7 + y * 13 + c * 5) % 256
+                assert int(px[y, x, c]) == want
+
+
+# ---------- resize pipeline vs DuckDB oracle ----------
+
+@pytest.mark.parametrize("fmt", ["zlib-rgb", "rgb8"])
+def test_resize_pipeline_matches_duckdb_oracle(spark, fmt):
+    out = (
+        media.resize_images(
+            media.synthesize_images(_docs(spark), W, H, fmt), FACTOR
+        )
+        .select("image_id", "w", "h", "pix_sum")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pix = media.PIX_SQL.format(
+        seed="d.doc_id % 8191", frame="0",
+        x="ox.range*2 + dx.range", y="oy.range*2 + dy.range", c="c.range",
+    )
+    oracle = duckdb.sql(f"""
+        WITH d AS (SELECT doc_id FROM '{DOCS}' ORDER BY doc_id LIMIT {N_DOCS}),
+        blocks AS (
+          SELECT d.doc_id, ox.range AS ox, oy.range AS oy, c.range AS c,
+                 SUM({pix}) AS bsum
+          FROM d, range({W // FACTOR}) ox, range({H // FACTOR}) oy,
+               range(3) c, range({FACTOR}) dx, range({FACTOR}) dy
+          GROUP BY ALL
+        )
+        SELECT 'img-' || doc_id AS image_id,
+               CAST(SUM(bsum // {FACTOR * FACTOR}) AS BIGINT) AS pix_sum
+        FROM blocks GROUP BY doc_id ORDER BY image_id
+    """).df().reset_index(drop=True)
+    assert len(out) == N_DOCS
+    assert out["image_id"].tolist() == oracle["image_id"].tolist()
+    assert out["pix_sum"].tolist() == oracle["pix_sum"].tolist()
+    assert (out["w"] == W // FACTOR).all() and (out["h"] == H // FACTOR).all()
+
+
+def test_resize_bytes_and_phash_match_numpy_reference(spark):
+    rows = {
+        r["image_id"]: r
+        for r in media.resize_images(
+            media.synthesize_images(_docs(spark), W, H, "zlib-rgb"), FACTOR
+        ).collect()
+    }
+    assert len(rows) == N_DOCS
+    for doc_id in [0, 1, N_DOCS - 1]:
+        want = codecs.resize_area(
+            media.synth_pixels(doc_id % 8191, W, H), FACTOR
+        )
+        r = rows[f"img-{doc_id}"]
+        got = codecs.decode(bytes(r["bytes"]), r["fmt"], r["w"], r["h"])
+        assert np.array_equal(got, want)
+        assert r["phash"] == codecs.avg_phash(want)
+        assert r["caption"] == f"caption for doc {doc_id}"
+
+
+# ---------- frame-sample pipeline vs DuckDB oracle ----------
+
+def test_frame_sample_matches_duckdb_oracle(spark):
+    out = (
+        media.sample_frames(
+            media.synthesize_videos(_docs(spark), W, H, NFRAMES), EVERY
+        )
+        .select("image_id", "frame_idx", "frame_sum")
+        .toPandas()
+        .sort_values(["image_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    pix = media.PIX_SQL.format(
+        seed="d.doc_id % 8191", frame="f.range",
+        x="x.range", y="y.range", c="c.range",
+    )
+    oracle = duckdb.sql(f"""
+        WITH d AS (SELECT doc_id FROM '{DOCS}' ORDER BY doc_id LIMIT {N_DOCS})
+        SELECT 'vid-' || d.doc_id AS image_id,
+               CAST(f.range AS INT) AS frame_idx,
+               CAST(SUM({pix}) AS BIGINT) AS frame_sum
+        FROM d, range(0, {NFRAMES}, {EVERY}) f,
+             range({W}) x, range({H}) y, range(3) c
+        GROUP BY ALL ORDER BY image_id, frame_idx
+    """).df().reset_index(drop=True)
+    n_sampled = len(range(0, NFRAMES, EVERY))
+    assert len(out) == N_DOCS * n_sampled
+    assert out["image_id"].tolist() == oracle["image_id"].tolist()
+    assert out["frame_idx"].tolist() == oracle["frame_idx"].tolist()
+    assert out["frame_sum"].tolist() == oracle["frame_sum"].tolist()
+
+
+def test_sampled_frame_bytes_decode_to_the_right_frame(spark):
+    rows = media.sample_frames(
+        media.synthesize_videos(_docs(spark), W, H, NFRAMES), EVERY
+    ).filter("image_id = 'vid-3'").collect()
+    assert sorted(r["frame_idx"] for r in rows) == list(range(0, NFRAMES, EVERY))
+    for r in rows:
+        want = media.synth_pixels(3 % 8191, W, H, r["frame_idx"])
+        got = codecs.decode(bytes(r["bytes"]), "rgb8", W, H)
+        assert np.array_equal(got, want)
+
+
+def test_sample_frames_rejects_malformed_video(spark):
+    bad = media.synthesize_videos(_docs(spark).limit(1), W, H, NFRAMES)
+    truncated = bad.selectExpr(
+        "image_id", "substring(bytes, 1, 10) AS bytes", "w", "h", "fmt",
+        "nframes",
+    )
+    with pytest.raises(Exception, match="bytes"):
+        media.sample_frames(truncated, EVERY).collect()
+
+
+# ---------- plan shape ----------
+
+def test_media_pipeline_plan_is_shuffle_free(spark):
+    plan = (
+        media.resize_images(
+            media.synthesize_images(_docs(spark).repartition(4), W, H,
+                                    "zlib-rgb"), FACTOR
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the one repartition above is the SOURCE's layout; the two map
+    # stages themselves must not add an Exchange
+    assert plan.count("Exchange") <= 1, plan
+    assert plan.count("MapInPandas") == 2, plan

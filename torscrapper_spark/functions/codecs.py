@@ -74,6 +74,27 @@ def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def resize_area(pixels: np.ndarray, factor: int) -> np.ndarray:
+    """Area-average downsample by an integer ``factor`` — EXACT integer
+    arithmetic (block sum // factor², no float means), so the result is
+    bit-identical regardless of summation order, platform, or batch
+    boundaries: the same determinism contract as :func:`avg_phash`,
+    which lets tests pin the operator against an independent closed
+    form. h and w must be multiples of ``factor``.
+    """
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h,w,3) uint8, got {pixels.shape} {pixels.dtype}")
+    h, w = pixels.shape[:2]
+    if factor < 1 or h % factor or w % factor:
+        raise ValueError(f"factor {factor} must divide ({h}, {w})")
+    if factor == 1:
+        return pixels.copy()
+    blocks = pixels.astype(np.int64).reshape(
+        h // factor, factor, w // factor, factor, 3
+    ).sum(axis=(1, 3))
+    return (blocks // (factor * factor)).astype(np.uint8)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images.
 

@@ -1,0 +1,207 @@
+"""Multimodal column operators: decode → resize and video frame-sample.
+
+The build brief's multimodal family is decode / feature-extract /
+resize / frame-sample over opaque ``binary`` columns with typed
+metadata. Decode + feature-extract (PSNR gate, perceptual hash,
+caption equality) live on the crawl's hot path
+(``operators/fetch.py``); this module adds the remaining two as
+standalone table transforms over the input-hint row shape
+``(image_id:string, bytes:binary, w:int, h:int, fmt:string,
+caption:string, phash:long)``.
+
+100-TB posture: every operator here is a pure ``mapInPandas`` map
+stage — no shuffle, no driver collect, no per-row Python in the
+arithmetic (the codec registry's zlib/numpy calls are per-image C
+calls, the same granularity any image codec has). Payload crosses the
+JVM↔Python boundary once per stage; Arrow batch size (and therefore
+per-worker peak memory ≈ batch_rows × image_bytes) is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``. Partitioning is
+whatever the source table provides — a media table bucketed by
+``image_id`` stays bucketed through the stage because a map never
+moves rows.
+
+Determinism: all pixel arithmetic is exact-integer
+(:func:`~torscrapper_spark.functions.codecs.resize_area`,
+:func:`~torscrapper_spark.functions.codecs.avg_phash`), so outputs are
+bit-identical across parallelism levels and batch boundaries — the
+same invariance the crawl's two-cluster-size protocol pins.
+
+The synthetic generators (:func:`synthesize_images`,
+:func:`synthesize_videos`) exist because the sandbox has no media
+corpus: they derive every pixel from a CLOSED-FORM formula
+(:data:`PIX_SQL`) that ANSI SQL can recompute, so tests/test_media.py
+verifies the whole decode→resize→stats pipeline against a DuckDB
+oracle value-for-value — the same evidence class as the driver's
+oracled queries, without consuming one of the 50 capped registry
+slots. On a real cluster the generators are dropped and the transforms
+read an existing media table unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions import codecs
+
+MEDIA_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+RESIZED_SCHEMA = MEDIA_SCHEMA + ", pix_sum long"
+VIDEO_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, nframes int"
+FRAME_SCHEMA = (
+    "image_id string, frame_idx int, bytes binary, w int, h int, "
+    "fmt string, frame_sum long"
+)
+
+# one pixel of the synthetic corpus, as a SQL expression template over
+# (seed, frame, x, y, c) — the single source of truth the numpy
+# generator below and the DuckDB oracle in tests/test_media.py both
+# instantiate. seed = doc_id % 8191 keeps every intermediate far below
+# int64 overflow on both engines; doc_id must be non-negative (Python
+# and SQL % disagree on negatives).
+PIX_SQL = "(({seed})*29 + ({frame})*17 + ({x})*7 + ({y})*13 + ({c})*5) % 256"
+
+
+def synth_pixels(seed: int, w: int, h: int, frame: int = 0) -> np.ndarray:
+    """(h, w, 3) uint8 image: the numpy instantiation of :data:`PIX_SQL`."""
+    x = np.arange(w, dtype=np.int64) * 7
+    y = np.arange(h, dtype=np.int64) * 13
+    c = np.arange(3, dtype=np.int64) * 5
+    base = int(seed) * 29 + int(frame) * 17
+    return (
+        (base + y[:, None, None] + x[None, :, None] + c[None, None, :]) % 256
+    ).astype(np.uint8)
+
+
+def _seed(doc_id: int) -> int:
+    return int(doc_id) % 8191
+
+
+def synthesize_images(
+    docs: DataFrame, w: int = 16, h: int = 16, fmt: str = "zlib-rgb"
+) -> DataFrame:
+    """documents(doc_id) → media rows in the input-hint shape.
+
+    Test-fixture generator (see module docstring); a map stage so the
+    synthesized table inherits the documents table's partitioning.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                px = synth_pixels(_seed(doc_id), w, h)
+                rows.append((
+                    f"img-{int(doc_id)}", codecs.encode(px, fmt), w, h, fmt,
+                    f"caption for doc {int(doc_id)}", codecs.avg_phash(px),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                               "caption", "phash"],
+            )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode → area-average downsample by ``factor`` → re-encode.
+
+    Output keeps the input-hint shape (bytes/w/h/fmt updated, phash
+    recomputed on the resized pixels, caption carried) plus ``pix_sum``
+    — the exact int64 sum of every resized pixel value, the quantity
+    the DuckDB oracle recomputes in closed form. Lossless formats
+    round-trip bit-exactly; lossy formats re-quantize the RESIZED
+    pixels (pix_sum and phash are computed before the re-encode, on
+    the exact resized array).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = codecs.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                small = codecs.resize_area(px, factor)
+                rows.append((
+                    r.image_id, codecs.encode(small, r.fmt),
+                    int(r.w) // factor, int(r.h) // factor, r.fmt,
+                    r.caption, codecs.avg_phash(small),
+                    int(small.sum(dtype=np.int64)),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                               "caption", "phash", "pix_sum"],
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def synthesize_videos(
+    docs: DataFrame, w: int = 16, h: int = 16, nframes: int = 8
+) -> DataFrame:
+    """documents(doc_id) → video rows: ``nframes`` raw rgb8 frames
+    concatenated into one opaque binary (frame f = :data:`PIX_SQL` at
+    that f), with typed metadata. Test-fixture generator."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                frames = b"".join(
+                    codecs.encode(synth_pixels(_seed(doc_id), w, h, f), "rgb8")
+                    for f in range(nframes)
+                )
+                rows.append((f"vid-{int(doc_id)}", frames, w, h, "rgb8",
+                             nframes))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                               "nframes"],
+            )
+
+    return docs.select("doc_id").mapInPandas(run, VIDEO_SCHEMA)
+
+
+def sample_frames(videos: DataFrame, every: int = 3) -> DataFrame:
+    """Frame-sample: emit every ``every``-th frame of each video as its
+    own image row (frame 0 always included), with ``frame_sum`` — the
+    exact int64 pixel sum of that frame — for the oracle check.
+
+    A row-expanding map stage (one input video → ⌈nframes/every⌉
+    frames): still shuffle-free, and output size is input size ×
+    (sampled/total) — at 100 TB the sampled frames are the SMALL side,
+    which is the point of sampling before any shuffle-bearing
+    downstream op touches them. Only ``fmt='rgb8'`` videos (fixed
+    frame stride) are supported; variable-length-frame containers need
+    a real demuxer, which is exactly the codec-registry extension
+    point documented in functions/codecs.py.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.fmt != "rgb8":
+                    raise ValueError(f"sample_frames needs rgb8, got {r.fmt!r}")
+                w, h, n = int(r.w), int(r.h), int(r.nframes)
+                stride = w * h * 3
+                buf = bytes(r.bytes)
+                if len(buf) != n * stride:
+                    raise ValueError(
+                        f"video {r.image_id}: {len(buf)} bytes != "
+                        f"{n} frames × {stride}"
+                    )
+                for f in range(0, n, every):
+                    frame = buf[f * stride:(f + 1) * stride]
+                    px = np.frombuffer(frame, dtype=np.uint8)
+                    rows.append((r.image_id, f, frame, w, h, "rgb8",
+                                 int(px.sum(dtype=np.int64))))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "frame_idx", "bytes", "w", "h",
+                               "fmt", "frame_sum"],
+            )
+
+    return videos.mapInPandas(run, FRAME_SCHEMA)
