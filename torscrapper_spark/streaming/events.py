@@ -123,6 +123,70 @@ def session_counts(spark: SparkSession, sf_dir: str, gap: str = "5 minutes") -> 
     )
 
 
+def stateful_first_sight(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    — the streaming analogue of the URL-seen filter with state richer
+    than the built-in dedup can hold (SURVEY.md A7; built-ins stop at
+    ``dropDuplicatesWithinWatermark``): per key, an arbitrary state
+    tuple (here total sightings + first-seen event time) carried across
+    microbatches, exactly what a streaming frontier ingest needs to
+    answer "have we seen this URL, when first, how often re-linked".
+
+    The events table is split into ``n_batches`` files and streamed
+    with ``maxFilesPerTrigger=1``, so the state handoff between REAL
+    microbatches is what's under test, not a single-batch degenerate
+    run. Update-mode output re-emits a key's row each time its state
+    changes; the per-key row with the max ``n_events`` is the final
+    answer and equals the batch ``groupBy(user_id).agg(count, min(ts))``
+    — the oracle comparison in tests/test_streaming_state.py.
+
+    100-TB posture: state lives in the state store partitioned by key
+    (RocksDB-backed on a real cluster), one shuffle on user_id per
+    microbatch — identical shape to the built-in stateful ops; the
+    pandas function sees one Arrow batch iterator per key per batch and
+    never materializes the stream.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = tempfile.mkdtemp(prefix="evstate_")
+    _SCRATCH_DIRS.append(d)
+    src = os.path.join(d, "src")
+    # any row-to-file split works: both state reductions (count, min)
+    # are order- and partition-independent
+    ev.repartition(n_batches).write.parquet(src)
+    s = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+
+    def track(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415 — runs on executors
+
+        n, first = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            m = int(pdf["ts_us"].min())
+            first = m if first is None or m < first else first
+        state.update((n, first))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "first_seen_us": [first]}
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        track,
+        "user_id long, n_events long, first_seen_us long",
+        "n long, first long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "update")
+
+
 def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on event_id (the streaming analogue of
     the URL-seen filter, SURVEY.md A7) followed by a per-type count."""
