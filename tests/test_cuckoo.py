@@ -57,45 +57,47 @@ def test_cuckoo_crawl_matches_golden_and_bloom(
             seen_filter="cuckoo", bloom_shards=4, cuckoo_buckets=1 << 10,
         ),
     )
-    # auto-cleaned scratch (raw mkdtemp leaked a full 3-wave snapshot
-    # store per test run)
-    bloom_dir = tempfile.mkdtemp(prefix="tsnap_")
-    bloom_store = SnapshotStore(bloom_dir)
-    C.run_crawl(
-        spark, bloom_store, ps, seeds, robots, pol,
-        C.CrawlConfig(
-            max_waves=3, default_budget=5, use_bloom=True,
-            seen_filter="bloom", bloom_shards=4, bloom_bits=1 << 14,
-        ),
-    )
-    eng = _trace(spark, cuckoo_store)
-    assert eng.equals(
-        gold.trace[TRACE_COLS].astype(
-            {"wave": "int64", "seq": "int64", "depth": "int64",
-             "status": "int64"}
-        ).reset_index(drop=True)
-    )
-    assert eng.equals(_trace(spark, bloom_store))
-    # the filter state table is named after the filter
-    assert os.path.isdir(cuckoo_store.table_path("cuckoo", 0))
-    assert not os.path.isdir(os.path.join(cuckoo_store.root, "bloom"))
-    # seen sets identical
-    c_seen = {
-        r.url_hash
-        for r in cuckoo_store.read_upto(
-            spark, "seen", cuckoo_store.last_wave()
-        ).collect()
-    }
-    b_seen = {
-        r.url_hash
-        for r in bloom_store.read_upto(
-            spark, "seen", bloom_store.last_wave()
-        ).collect()
-    }
-    assert c_seen == b_seen
+    # auto-cleaned scratch: try/finally so an assertion failure above
+    # the cleanup can't leak the 3-wave snapshot store
     import shutil
 
-    shutil.rmtree(bloom_dir, ignore_errors=True)
+    bloom_dir = tempfile.mkdtemp(prefix="tsnap_")
+    try:
+        bloom_store = SnapshotStore(bloom_dir)
+        C.run_crawl(
+            spark, bloom_store, ps, seeds, robots, pol,
+            C.CrawlConfig(
+                max_waves=3, default_budget=5, use_bloom=True,
+                seen_filter="bloom", bloom_shards=4, bloom_bits=1 << 14,
+            ),
+        )
+        eng = _trace(spark, cuckoo_store)
+        assert eng.equals(
+            gold.trace[TRACE_COLS].astype(
+                {"wave": "int64", "seq": "int64", "depth": "int64",
+                 "status": "int64"}
+            ).reset_index(drop=True)
+        )
+        assert eng.equals(_trace(spark, bloom_store))
+        # the filter state table is named after the filter
+        assert os.path.isdir(cuckoo_store.table_path("cuckoo", 0))
+        assert not os.path.isdir(os.path.join(cuckoo_store.root, "bloom"))
+        # seen sets identical
+        c_seen = {
+            r.url_hash
+            for r in cuckoo_store.read_upto(
+                spark, "seen", cuckoo_store.last_wave()
+            ).collect()
+        }
+        b_seen = {
+            r.url_hash
+            for r in bloom_store.read_upto(
+                spark, "seen", bloom_store.last_wave()
+            ).collect()
+        }
+        assert c_seen == b_seen
+    finally:
+        shutil.rmtree(bloom_dir, ignore_errors=True)
 
 
 def test_cuckoo_probe_no_false_negatives_and_low_fp(spark):
@@ -382,8 +384,10 @@ def test_grow_cuckoo_keeps_empty_saturated_shard(spark):
         pd.DataFrame({"url_hash": pd.Series([], dtype="int64")}),
         "url_hash long",
     )
-    out = CK.grow_saturated_cuckoo(spark, filt, empty, empty, 2).toPandas()
+    grown = CK.grow_saturated_cuckoo(spark, filt, empty, empty, 2)
+    out = grown.toPandas()
     filt.unpersist()
+    grown._keys_cache.unpersist()  # the guard's shared key-scan cache
     assert sorted(out["pid"]) == [0, 1]
     row = out[out["pid"] == 1].iloc[0]
     assert not bool(row.degraded)

@@ -168,6 +168,13 @@ def test_sampled_frame_bytes_decode_to_the_right_frame(spark):
         assert np.array_equal(got, want)
 
 
+def test_sample_frames_rejects_bad_every():
+    # validated at the operator boundary, before any DataFrame is used
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="every"):
+            media.sample_frames(None, bad)
+
+
 def test_sample_frames_rejects_malformed_video(spark):
     bad = media.synthesize_videos(_docs(spark).limit(1), W, H, NFRAMES)
     truncated = bad.selectExpr(

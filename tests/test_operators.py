@@ -321,8 +321,10 @@ def test_grow_bloom_keeps_empty_saturated_shard(spark):
         pd.DataFrame({"url_hash": pd.Series([], dtype="int64")}),
         "url_hash long",
     )
-    out = seen_op.grow_saturated_shards(spark, bloom, empty, empty, 2).toPandas()
+    grown = seen_op.grow_saturated_shards(spark, bloom, empty, empty, 2)
+    out = grown.toPandas()
     bloom.unpersist()
+    grown._keys_cache.unpersist()  # the guard's shared key-scan cache
     assert sorted(out["pid"]) == [0, 1]
     row = out[out["pid"] == 1].iloc[0]
     assert bytes(row.bitmap) == empty_bm  # rebuilt fresh-empty

@@ -54,3 +54,6 @@ def test_stateful_first_sight_batch_split_invariance(spark):
     a = _final_rows(EV.stateful_first_sight(spark, SF_DIR, n_batches=2))
     b = _final_rows(EV.stateful_first_sight(spark, SF_DIR, n_batches=5))
     assert a.equals(b)
+    # scratch lifetime bound: each call released its predecessor's
+    # on-disk events copy (the module's one-per-session contract)
+    assert len(EV._SCRATCH_DIRS) <= 1

@@ -51,7 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .seen import saturated_shard_keys, with_pid
+from .seen import rebuild_saturated, saturated_shard_keys, with_pid
 
 CUCKOO_SCHEMA = "pid int, table binary, nbuckets int, degraded boolean"
 
@@ -397,23 +397,9 @@ def grow_saturated_cuckoo(
         return filt_next
     keys = saturated_shard_keys(seen, delta, sat, num_shards)
 
-    rebuilt = keys.groupBy("pid").applyInPandas(
-        lambda key, pdf: _rebuild_shard(
-            int(pdf["pid"].iloc[0]),
-            pdf["url_hash"].to_numpy().astype(np.int64),
-            sat[int(pdf["pid"].iloc[0])],
-        ),
-        CUCKOO_SCHEMA,
-    )
-    # a saturated/degraded pid whose key set is EMPTY (every key revoked
-    # before the guard fired) produces no applyInPandas group; without a
-    # fresh row the shard would vanish from the filter table — updates
-    # would never re-insert for it and probe would answer all-true
-    # forever. Rebuild-from-empty is just an empty table.
-    present = {int(r.pid) for r in keys.select("pid").distinct().collect()}
-    missing = [p for p in sat if p not in present]
-    if missing:
-        fresh = pd.DataFrame({
+    def fresh_rows(missing: list) -> pd.DataFrame:
+        # rebuild-from-empty is just an empty table at the current size
+        return pd.DataFrame({
             "pid": pd.Series(missing, dtype="int32"),
             "table": [
                 np.zeros((sat[p], _SLOTS), np.uint16).tobytes()
@@ -422,7 +408,13 @@ def grow_saturated_cuckoo(
             "nbuckets": pd.Series([sat[p] for p in missing], dtype="int32"),
             "degraded": pd.Series([False] * len(missing), dtype="bool"),
         })
-        rebuilt = rebuilt.unionByName(
-            spark.createDataFrame(fresh, CUCKOO_SCHEMA)
-        )
-    return filt_next.filter(~F.col("pid").isin(*sat)).unionByName(rebuilt)
+
+    return rebuild_saturated(
+        spark, filt_next, keys, sat,
+        lambda key, pdf: _rebuild_shard(
+            int(pdf["pid"].iloc[0]),
+            pdf["url_hash"].to_numpy().astype(np.int64),
+            sat[int(pdf["pid"].iloc[0])],
+        ),
+        fresh_rows, CUCKOO_SCHEMA,
+    )

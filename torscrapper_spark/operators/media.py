@@ -179,6 +179,11 @@ def sample_frames(videos: DataFrame, every: int = 3) -> DataFrame:
     a real demuxer, which is exactly the codec-registry extension
     point documented in functions/codecs.py.
     """
+    if every < 1:
+        # validate at the operator boundary: every=0 would die as an
+        # opaque range() error inside a Python worker, and a negative
+        # value would silently emit zero frames from every video
+        raise ValueError(f"every must be >= 1, got {every}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

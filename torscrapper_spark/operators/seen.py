@@ -150,6 +150,48 @@ def saturated_shard_keys(
     )
 
 
+def rebuild_saturated(
+    spark,
+    filt_next: DataFrame,
+    keys: DataFrame,
+    sat_pids,
+    rebuild_fn,
+    fresh_rows_fn,
+    schema: str,
+) -> DataFrame:
+    """Shared tail of the bloom AND cuckoo saturation guards (one
+    implementation so a fix can never silently miss a twin, the
+    :func:`saturated_shard_keys` convention): rebuild every saturated
+    shard from its full key set, and re-emit a FRESH empty row for any
+    saturated pid whose key set is EMPTY (every key revoked before the
+    guard fired) — a pid with no ``applyInPandas`` group would
+    otherwise vanish from the filter table, its probe answering
+    maybe-seen forever and updates never re-inserting.
+
+    ``keys`` is persisted so the distinct-pid probe and the rebuild
+    read ONE materialization: evaluated twice, the partition-pruned
+    seen scan (the dominant rebuild cost) would be paid twice per
+    guard activation, and a pid that flipped between empty-in-probe
+    and non-empty-in-rebuild would emit BOTH a fresh row and a rebuilt
+    row — duplicate pid rows whose update/probe cogroups pick one
+    arbitrarily. The cache rides the returned DataFrame as
+    ``_keys_cache`` (the ``with_global_seq`` pattern); the caller
+    releases it after materializing the result.
+    """
+    sat_pids = list(sat_pids)
+    keys = keys.persist()
+    present = {int(r.pid) for r in keys.select("pid").distinct().collect()}
+    rebuilt = keys.groupBy("pid").applyInPandas(rebuild_fn, schema)
+    missing = [p for p in sat_pids if p not in present]
+    if missing:
+        rebuilt = rebuilt.unionByName(
+            spark.createDataFrame(fresh_rows_fn(missing), schema)
+        )
+    out = filt_next.filter(~F.col("pid").isin(*sat_pids)).unionByName(rebuilt)
+    out._keys_cache = keys  # type: ignore[attr-defined]
+    return out
+
+
 def grow_saturated_shards(
     spark,
     bloom_next: DataFrame,
@@ -217,17 +259,8 @@ def grow_saturated_shards(
              "nbits": [nbits], "k": [k]}
         )
 
-    rebuilt = keys.groupBy("pid").applyInPandas(
-        lambda key, pdf: rebuild(pdf), BLOOM_SCHEMA
-    )
-    # a saturated pid with an EMPTY key set (every key revoked before
-    # the guard fired) produces no applyInPandas group; without a fresh
-    # row the shard would vanish and probe would answer maybe_seen=True
-    # for it forever (cuckoo twin has the same guard)
-    present = {int(r.pid) for r in keys.select("pid").distinct().collect()}
-    missing = [p for p in sat if p not in present]
-    if missing:
-        fresh = pd.DataFrame({
+    def fresh_rows(missing: list) -> pd.DataFrame:
+        return pd.DataFrame({
             "pid": pd.Series(missing, dtype="int32"),
             "bitmap": [
                 np.zeros(sat[p][0] // 8, np.uint8).tobytes()
@@ -236,10 +269,11 @@ def grow_saturated_shards(
             "nbits": pd.Series([sat[p][0] for p in missing], dtype="int32"),
             "k": pd.Series([sat[p][1] for p in missing], dtype="int32"),
         })
-        rebuilt = rebuilt.unionByName(
-            spark.createDataFrame(fresh, BLOOM_SCHEMA)
-        )
-    return bloom_next.filter(~F.col("pid").isin(*sat)).unionByName(rebuilt)
+
+    return rebuild_saturated(
+        spark, bloom_next, keys, sat,
+        lambda key, pdf: rebuild(pdf), fresh_rows, BLOOM_SCHEMA,
+    )
 
 
 def probe_bloom(

@@ -616,6 +616,13 @@ def run_wave(
         store.write(final.repartition(width), "cuckoo", wave + 1)
         if guarded:
             upd.unpersist()
+            # the saturation rebuild caches its key scan so the
+            # distinct-pid probe and the rebuild share one
+            # materialization; release it with the write done (absent
+            # when the guard found nothing saturated)
+            kc = getattr(final, "_keys_cache", None)
+            if kc is not None:
+                kc.unpersist()
 
     def job_filter_bloom():
         import math
@@ -661,6 +668,11 @@ def run_wave(
             # bitmap bytes) per wave once est_fill stayed ≥ 0.3, which
             # is permanent after any shard grows (ADVICE.md r4)
             bloom_upd.unpersist()
+            # same release for the rebuild's cached key scan (cuckoo
+            # twin in job_filter_cuckoo; absent when nothing saturated)
+            kc = getattr(bloom_final, "_keys_cache", None)
+            if kc is not None:
+                kc.unpersist()
 
     # ---- STATE chain: everything wave w+1 needs. job_seen runs FIRST
     # and alone: its write materializes the cached `new` end-to-end

@@ -148,8 +148,15 @@ def stateful_first_sight(
     pandas function sees one Arrow batch iterator per key per batch and
     never materializes the stream.
     """
+    import shutil
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # honor the module's one-scratch-per-session lifetime bound: release
+    # every predecessor (this function writes a full parquet copy of the
+    # events table per call — stream_events' purge loop, same reason)
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     d = tempfile.mkdtemp(prefix="evstate_")
     _SCRATCH_DIRS.append(d)
