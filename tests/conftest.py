@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 import pytest
@@ -23,13 +24,12 @@ def tiny_tables():
 def tiny_dir(tiny_tables):
     d = tempfile.mkdtemp(prefix="tsfx_")
     fixtures.write_parquet(tiny_tables, d)
-    return d
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
 
 
 @pytest.fixture()
 def tmp_store_dir():
-    import shutil
-
     d = tempfile.mkdtemp(prefix="tsnap_")
     yield d
     shutil.rmtree(d, ignore_errors=True)
@@ -49,11 +49,13 @@ def large_tables():
 def large_dir(large_tables):
     d = tempfile.mkdtemp(prefix="tsfx_lg_")
     fixtures.write_parquet(large_tables, d)
-    return d
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")
 def medium_dir(medium_tables):
     d = tempfile.mkdtemp(prefix="tsfx_med_")
     fixtures.write_parquet(medium_tables, d)
-    return d
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
