@@ -385,7 +385,10 @@ def grow_saturated_cuckoo(
     pruned seen scan unioned with this wave's delta) at nbuckets doubled
     until the expected load ≤ 0.5. The common case costs one occupancy
     job. Returns the (possibly partially rebuilt) filter; the input's
-    persist is left for the caller to release after materializing."""
+    persist is left for the caller to release after materializing, and
+    when a rebuild ran the result carries the key scan's cache as
+    ``_keys_cache`` (see :func:`~.seen.rebuild_saturated`) — release
+    that too."""
     filt_next.persist()
     fills = cuckoo_fill(filt_next).collect()
     sat = {

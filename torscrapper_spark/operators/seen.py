@@ -226,7 +226,9 @@ def grow_saturated_shards(
     build/probe already honor the per-row nbits, so no other operator
     changes. The common (unsaturated) case costs one popcount job.
     Returns the (possibly partially rebuilt) bloom; the input's persist
-    is left for the caller to release after materializing the result.
+    is left for the caller to release after materializing the result,
+    and when a rebuild ran the result carries the key scan's cache as
+    ``_keys_cache`` (see :func:`rebuild_saturated`) — release that too.
     """
     bloom_next.persist()
     fills = bloom_fill(bloom_next).collect()
