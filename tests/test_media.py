@@ -125,12 +125,71 @@ def test_resize_bytes_and_phash_match_numpy_reference(spark):
         assert r["caption"] == f"caption for doc {doc_id}"
 
 
+# ---------- video containers (kernel) ----------
+
+def _raw_frames(seed, n):
+    return [media.synth_pixels(seed, W, H, f).tobytes() for f in range(n)]
+
+
+def test_zvid_roundtrip_and_variable_stride():
+    frames = _raw_frames(77, NFRAMES)
+    buf = codecs.mux_video(frames, "zvid")
+    # demux yields exactly the sampled frames, decompressed bit-exactly
+    got = dict(codecs._demux_zvid(buf, W, H, NFRAMES, EVERY))
+    assert sorted(got) == list(range(0, NFRAMES, EVERY))
+    for f, raw in got.items():
+        assert raw == frames[f]
+    # the container is genuinely variable-stride: per-frame compressed
+    # payloads differ in length (constant-stride would defeat the test)
+    lens, off = [], 8
+    for _ in range(NFRAMES):
+        ln = int.from_bytes(buf[off:off + 4], "big")
+        lens.append(ln)
+        off += 4 + ln
+    assert len(set(lens)) > 1, lens
+
+
+def test_zvid_demux_skips_unsampled_payloads():
+    # corrupt a NON-sampled frame's compressed payload in place (length
+    # prefix untouched): demux must still succeed because it only
+    # decompresses the sampled frames — the O(sampled) property that
+    # makes frame-sampling cheap on variable-stride containers
+    frames = _raw_frames(5, NFRAMES)
+    buf = bytearray(codecs.mux_video(frames, "zvid"))
+    off = 8
+    ln0 = int.from_bytes(buf[off:off + 4], "big")
+    off += 4 + ln0  # start of frame 1's length prefix
+    ln1 = int.from_bytes(buf[off:off + 4], "big")
+    payload = slice(off + 4, off + 4 + ln1)
+    buf[payload] = bytes(ln1)  # frame 1 (unsampled at EVERY=3) is garbage
+    got = dict(codecs._demux_zvid(bytes(buf), W, H, NFRAMES, EVERY))
+    assert sorted(got) == list(range(0, NFRAMES, EVERY))
+    assert got[0] == frames[0]
+    # sampling every=1 DOES touch frame 1 and must fail loudly
+    with pytest.raises(Exception):
+        list(codecs._demux_zvid(bytes(buf), W, H, NFRAMES, 1))
+
+
+def test_zvid_demux_rejects_malformed():
+    frames = _raw_frames(9, NFRAMES)
+    buf = codecs.mux_video(frames, "zvid")
+    for bad, msg in [
+        (b"XXXX" + buf[4:], "magic"),
+        (buf[:4] + (NFRAMES + 1).to_bytes(4, "big") + buf[8:], "frames"),
+        (buf[:-3], "truncated"),
+        (buf + b"\x00", "trailing"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            list(codecs._demux_zvid(bad, W, H, NFRAMES, EVERY))
+
+
 # ---------- frame-sample pipeline vs DuckDB oracle ----------
 
-def test_frame_sample_matches_duckdb_oracle(spark):
+@pytest.mark.parametrize("fmt", ["rgb8", "zvid"])
+def test_frame_sample_matches_duckdb_oracle(spark, fmt):
     out = (
         media.sample_frames(
-            media.synthesize_videos(_docs(spark), W, H, NFRAMES), EVERY
+            media.synthesize_videos(_docs(spark), W, H, NFRAMES, fmt), EVERY
         )
         .select("image_id", "frame_idx", "frame_sum")
         .toPandas()
@@ -166,6 +225,32 @@ def test_sampled_frame_bytes_decode_to_the_right_frame(spark):
         want = media.synth_pixels(3 % 8191, W, H, r["frame_idx"])
         got = codecs.decode(bytes(r["bytes"]), "rgb8", W, H)
         assert np.array_equal(got, want)
+
+
+def test_sample_frames_container_invariant(spark):
+    # same videos through the fixed-stride and variable-stride
+    # containers → bit-identical sampled rows (the demuxer registry
+    # must be invisible downstream)
+    def sampled(fmt):
+        return sorted(
+            (r["image_id"], r["frame_idx"], bytes(r["bytes"]),
+             r["frame_sum"])
+            for r in media.sample_frames(
+                media.synthesize_videos(_docs(spark), W, H, NFRAMES, fmt),
+                EVERY,
+            ).collect()
+        )
+
+    assert sampled("rgb8") == sampled("zvid")
+
+
+def test_sample_frames_rejects_unknown_container(spark):
+    vids = media.synthesize_videos(_docs(spark).limit(1), W, H, NFRAMES)
+    renamed = vids.selectExpr(
+        "image_id", "bytes", "w", "h", "'mp4' AS fmt", "nframes"
+    )
+    with pytest.raises(Exception, match="container"):
+        media.sample_frames(renamed, EVERY).collect()
 
 
 def test_sample_frames_rejects_bad_every():

@@ -136,6 +136,84 @@ def avg_phash(pixels: np.ndarray) -> int:
 PHASH_LOSSY_HAMMING = 8
 
 
+# ------------------------------------------------------------- video
+# Video containers behind the same registry pattern as the image fmts:
+# the frame-sample operator only calls VIDEO_DEMUXERS[fmt], so a real
+# demuxer (mp4/mkv via pyav etc.) on a cluster is a registry entry,
+# not a code change. Two container classes cover both stride regimes:
+#
+#   rgb8  all frames raw rgb8 concatenated — FIXED stride w*h*3; the
+#         demuxer seeks straight to each selected frame (O(sampled)).
+#   zvid  b"ZV1\n" + u32 nframes, then per frame u32 payload length +
+#         zlib-compressed rgb8 payload — VARIABLE stride (compressed
+#         size depends on content); the demuxer walks the length
+#         prefixes (O(nframes) header hops) but decompresses ONLY the
+#         selected frames (O(sampled) byte work — pinned by test).
+#
+# Every demuxer has the signature (buf, w, h, nframes, every) and
+# yields (frame_idx, raw_rgb8_bytes) for frames 0, every, 2·every, …;
+# malformed containers raise ValueError loudly (a silent skip would
+# undercount frames downstream).
+
+ZVID_MAGIC = b"ZV1\n"
+
+
+def mux_video(frame_bytes: list[bytes], fmt: str) -> bytes:
+    """Concatenate raw rgb8 frame payloads into a ``fmt`` container."""
+    if fmt == "rgb8":
+        return b"".join(frame_bytes)
+    if fmt == "zvid":
+        parts = [ZVID_MAGIC, len(frame_bytes).to_bytes(4, "big")]
+        for fb in frame_bytes:
+            comp = zlib.compress(fb, 6)
+            parts.append(len(comp).to_bytes(4, "big"))
+            parts.append(comp)
+        return b"".join(parts)
+    raise ValueError(f"unknown video fmt {fmt!r}")
+
+
+def _demux_rgb8(buf: bytes, w: int, h: int, nframes: int, every: int):
+    stride = w * h * 3
+    if len(buf) != nframes * stride:
+        raise ValueError(
+            f"rgb8 video: {len(buf)} bytes != {nframes} frames × {stride}"
+        )
+    for f in range(0, nframes, every):
+        yield f, buf[f * stride:(f + 1) * stride]
+
+
+def _demux_zvid(buf: bytes, w: int, h: int, nframes: int, every: int):
+    stride = w * h * 3
+    if buf[:4] != ZVID_MAGIC:
+        raise ValueError(f"zvid: bad magic {buf[:4]!r}")
+    n = int.from_bytes(buf[4:8], "big")
+    if n != nframes:
+        raise ValueError(f"zvid header: {n} frames, metadata says {nframes}")
+    off = 8
+    for f in range(nframes):
+        if off + 4 > len(buf):
+            raise ValueError(f"zvid: truncated at frame {f} length prefix")
+        ln = int.from_bytes(buf[off:off + 4], "big")
+        off += 4
+        if off + ln > len(buf):
+            raise ValueError(f"zvid: truncated inside frame {f} payload")
+        if f % every == 0:
+            raw = zlib.decompress(buf[off:off + ln])
+            if len(raw) != stride:
+                raise ValueError(
+                    f"zvid: frame {f} decodes to {len(raw)} bytes, "
+                    f"expected {stride}"
+                )
+            yield f, raw
+        off += ln
+    if off != len(buf):
+        raise ValueError(f"zvid: {len(buf) - off} trailing bytes")
+
+
+VIDEO_DEMUXERS = {"rgb8": _demux_rgb8, "zvid": _demux_zvid}
+VIDEO_FMTS = tuple(VIDEO_DEMUXERS)
+
+
 def hamming64(a: int, b: int) -> int:
     """Bit distance between two signed-int64 hashes."""
     return ((a ^ b) & ((1 << 64) - 1)).bit_count()

@@ -141,21 +141,26 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
 
 
 def synthesize_videos(
-    docs: DataFrame, w: int = 16, h: int = 16, nframes: int = 8
+    docs: DataFrame, w: int = 16, h: int = 16, nframes: int = 8,
+    fmt: str = "rgb8",
 ) -> DataFrame:
-    """documents(doc_id) → video rows: ``nframes`` raw rgb8 frames
-    concatenated into one opaque binary (frame f = :data:`PIX_SQL` at
-    that f), with typed metadata. Test-fixture generator."""
+    """documents(doc_id) → video rows: ``nframes`` frames (frame f =
+    :data:`PIX_SQL` at that f) muxed into one opaque binary in ``fmt``
+    (any :data:`codecs.VIDEO_FMTS` container — ``rgb8`` fixed-stride or
+    ``zvid`` variable-stride), with typed metadata. Test-fixture
+    generator."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"].astype("int64"):
-                frames = b"".join(
-                    codecs.encode(synth_pixels(_seed(doc_id), w, h, f), "rgb8")
-                    for f in range(nframes)
+                frames = codecs.mux_video(
+                    [codecs.encode(synth_pixels(_seed(doc_id), w, h, f),
+                                   "rgb8")
+                     for f in range(nframes)],
+                    fmt,
                 )
-                rows.append((f"vid-{int(doc_id)}", frames, w, h, "rgb8",
+                rows.append((f"vid-{int(doc_id)}", frames, w, h, fmt,
                              nframes))
             yield pd.DataFrame(
                 rows, columns=["image_id", "bytes", "w", "h", "fmt",
@@ -174,10 +179,13 @@ def sample_frames(videos: DataFrame, every: int = 3) -> DataFrame:
     frames): still shuffle-free, and output size is input size ×
     (sampled/total) — at 100 TB the sampled frames are the SMALL side,
     which is the point of sampling before any shuffle-bearing
-    downstream op touches them. Only ``fmt='rgb8'`` videos (fixed
-    frame stride) are supported; variable-length-frame containers need
-    a real demuxer, which is exactly the codec-registry extension
-    point documented in functions/codecs.py.
+    downstream op touches them. Containers are dispatched through
+    :data:`codecs.VIDEO_DEMUXERS` — fixed-stride ``rgb8`` seeks
+    straight to the sampled frames, variable-stride ``zvid`` walks the
+    length prefixes but decompresses only the sampled frames; output
+    frames are always raw ``rgb8`` regardless of the input container.
+    A real cluster extends the registry with a true demuxer (pyav
+    etc.) — the operator is container-agnostic by construction.
     """
     if every < 1:
         # validate at the operator boundary: every=0 would die as an
@@ -189,18 +197,18 @@ def sample_frames(videos: DataFrame, every: int = 3) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if r.fmt != "rgb8":
-                    raise ValueError(f"sample_frames needs rgb8, got {r.fmt!r}")
-                w, h, n = int(r.w), int(r.h), int(r.nframes)
-                stride = w * h * 3
-                buf = bytes(r.bytes)
-                if len(buf) != n * stride:
+                demux = codecs.VIDEO_DEMUXERS.get(r.fmt)
+                if demux is None:
                     raise ValueError(
-                        f"video {r.image_id}: {len(buf)} bytes != "
-                        f"{n} frames × {stride}"
+                        f"sample_frames: unknown container {r.fmt!r} "
+                        f"(registered: {codecs.VIDEO_FMTS})"
                     )
-                for f in range(0, n, every):
-                    frame = buf[f * stride:(f + 1) * stride]
+                w, h, n = int(r.w), int(r.h), int(r.nframes)
+                try:
+                    frames = list(demux(bytes(r.bytes), w, h, n, every))
+                except ValueError as e:
+                    raise ValueError(f"video {r.image_id}: {e}") from e
+                for f, frame in frames:
                     px = np.frombuffer(frame, dtype=np.uint8)
                     rows.append((r.image_id, f, frame, w, h, "rgb8",
                                  int(px.sum(dtype=np.int64))))
