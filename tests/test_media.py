@@ -125,6 +125,49 @@ def test_resize_bytes_and_phash_match_numpy_reference(spark):
         assert r["caption"] == f"caption for doc {doc_id}"
 
 
+# ---------- standalone feature extraction vs DuckDB oracle ----------
+
+@pytest.mark.parametrize("fmt,max_hamming", [("zlib-rgb", 0), ("quant6", codecs.PHASH_LOSSY_HAMMING)])
+def test_extract_features_matches_duckdb_oracle(spark, fmt, max_hamming):
+    out = (
+        media.extract_features(media.synthesize_images(_docs(spark), W, H, fmt))
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    assert len(out) == N_DOCS
+    # phash drift bound: exact for lossless, Hamming-bounded for lossy
+    assert (out["phash_hamming"] <= max_hamming).all(), \
+        out["phash_hamming"].max()
+    if max_hamming == 0:
+        assert (out["phash"] == out["phash_ref"]).all()
+        # lossless channel sums against the closed form
+        pix = media.PIX_SQL.format(
+            seed="d.doc_id % 8191", frame="0",
+            x="x.range", y="y.range", c="c.col0",
+        )
+        oracle = duckdb.sql(f"""
+            WITH d AS (SELECT doc_id FROM '{DOCS}'
+                       ORDER BY doc_id LIMIT {N_DOCS})
+            SELECT 'img-' || d.doc_id AS image_id,
+                   CAST(SUM(CASE WHEN c.col0=0 THEN {pix} END) AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN c.col0=1 THEN {pix} END) AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN c.col0=2 THEN {pix} END) AS BIGINT) AS sum_b
+            FROM d, range({W}) x, range({H}) y, (VALUES (0),(1),(2)) c
+            GROUP BY d.doc_id ORDER BY image_id
+        """).df().reset_index(drop=True)
+        for col in ("sum_r", "sum_g", "sum_b"):
+            assert out[col].tolist() == oracle[col].tolist(), col
+
+
+def test_extract_features_plan_is_shuffle_free(spark):
+    plan = (
+        media.extract_features(
+            media.synthesize_images(_docs(spark), W, H, "rgb8")
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 2, plan
+
+
 # ---------- video containers (kernel) ----------
 
 def _raw_frames(seed, n):

@@ -52,6 +52,11 @@ MEDIA_SCHEMA = (
     "caption string, phash long"
 )
 RESIZED_SCHEMA = MEDIA_SCHEMA + ", pix_sum long"
+FEATURES_SCHEMA = (
+    "image_id string, w int, h int, fmt string, caption string, "
+    "phash long, phash_ref long, phash_hamming int, "
+    "sum_r long, sum_g long, sum_b long"
+)
 VIDEO_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, nframes int"
 FRAME_SCHEMA = (
     "image_id string, frame_idx int, bytes binary, w int, h int, "
@@ -106,6 +111,43 @@ def synthesize_images(
             )
 
     return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Standalone decode → feature-extract over a media table.
+
+    The crawl's hot path fuses feature extraction into its validator
+    (``operators/fetch.py``); this is the same arithmetic as a
+    table-level transform for pipelines that need features WITHOUT a
+    crawl — per image: the recomputed perceptual hash, its Hamming
+    distance to the stored ``phash`` (0 for lossless fmts, ≤
+    :data:`codecs.PHASH_LOSSY_HAMMING` for lossy — the dedup/drift
+    signal), and exact int64 per-channel pixel sums (the closed-form
+    quantity the DuckDB oracle recomputes; also the cheap brightness
+    feature a quality gate thresholds on). Shuffle-free mapInPandas;
+    the caption column is carried so downstream joins need no
+    re-fetch.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = codecs.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                ph = codecs.avg_phash(px)
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append((
+                    r.image_id, int(r.w), int(r.h), r.fmt, r.caption,
+                    ph, int(r.phash), codecs.hamming64(ph, int(r.phash)),
+                    int(sums[0]), int(sums[1]), int(sums[2]),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "w", "h", "fmt", "caption",
+                               "phash", "phash_ref", "phash_hamming",
+                               "sum_r", "sum_g", "sum_b"],
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
 def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
