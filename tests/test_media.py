@@ -213,6 +213,48 @@ def test_zvid_demux_skips_unsampled_payloads():
         list(codecs._demux_zvid(bytes(buf), W, H, NFRAMES, 1))
 
 
+def test_zvid_property_roundtrip_and_mutation_detection():
+    # property check over random geometry/content/sampling: mux→demux
+    # round-trips the sampled frames bit-exactly, and ANY byte mutation
+    # either still decodes every sampled frame identically (mutation
+    # landed in an unsampled payload — allowed by the O(sampled)
+    # contract) or raises ValueError/zlib.error — never silently
+    # yields wrong pixels for a sampled frame
+    import zlib as _zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        w = data.draw(st.integers(1, 6))
+        h = data.draw(st.integers(1, 6))
+        n = data.draw(st.integers(1, 6))
+        every = data.draw(st.integers(1, 4))
+        frames = [
+            bytes(data.draw(st.binary(min_size=w * h * 3,
+                                      max_size=w * h * 3)))
+            for _ in range(n)
+        ]
+        buf = codecs.mux_video(frames, "zvid")
+        got = dict(codecs._demux_zvid(buf, w, h, n, every))
+        assert got == {f: frames[f] for f in range(0, n, every)}
+        pos = data.draw(st.integers(0, len(buf) - 1))
+        delta = data.draw(st.integers(1, 255))
+        mut = buf[:pos] + bytes([(buf[pos] + delta) % 256]) + buf[pos + 1:]
+        try:
+            got_mut = dict(codecs._demux_zvid(mut, w, h, n, every))
+        except (ValueError, _zlib.error):
+            return
+        for f in range(0, n, every):
+            assert got_mut.get(f) == frames[f], (
+                f"sampled frame {f} silently corrupted by byte {pos}"
+            )
+
+    run()
+
+
 def test_zvid_demux_rejects_malformed():
     frames = _raw_frames(9, NFRAMES)
     buf = codecs.mux_video(frames, "zvid")
