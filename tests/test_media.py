@@ -13,6 +13,7 @@ shuffle-free (a map stage must not move rows).
 from __future__ import annotations
 
 import os
+import zlib
 
 import duckdb
 import numpy as np
@@ -218,10 +219,9 @@ def test_zvid_property_roundtrip_and_mutation_detection():
     # round-trips the sampled frames bit-exactly, and ANY byte mutation
     # either still decodes every sampled frame identically (mutation
     # landed in an unsampled payload — allowed by the O(sampled)
-    # contract) or raises ValueError/zlib.error — never silently
-    # yields wrong pixels for a sampled frame
-    import zlib as _zlib
-
+    # contract) or raises ValueError — the codec contract: corrupt
+    # payloads surface as ValueError, never a bare zlib.error, and
+    # never silently wrong pixels for a sampled frame
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -245,7 +245,7 @@ def test_zvid_property_roundtrip_and_mutation_detection():
         mut = buf[:pos] + bytes([(buf[pos] + delta) % 256]) + buf[pos + 1:]
         try:
             got_mut = dict(codecs._demux_zvid(mut, w, h, n, every))
-        except (ValueError, _zlib.error):
+        except ValueError:
             return
         for f in range(0, n, every):
             assert got_mut.get(f) == frames[f], (
@@ -258,14 +258,64 @@ def test_zvid_property_roundtrip_and_mutation_detection():
 def test_zvid_demux_rejects_malformed():
     frames = _raw_frames(9, NFRAMES)
     buf = codecs.mux_video(frames, "zvid")
+    # corrupt frame 0's payload in place: SAMPLED, so demux must fail —
+    # and with ValueError (the codec contract), not a bare zlib.error
+    ln0 = int.from_bytes(buf[8:12], "big")
+    corrupt0 = buf[:12] + bytes(ln0) + buf[12 + ln0:]
     for bad, msg in [
         (b"XXXX" + buf[4:], "magic"),
         (buf[:4] + (NFRAMES + 1).to_bytes(4, "big") + buf[8:], "frames"),
         (buf[:-3], "truncated"),
         (buf + b"\x00", "trailing"),
+        (corrupt0, "frame 0"),
     ]:
         with pytest.raises(ValueError, match=msg):
             list(codecs._demux_zvid(bad, W, H, NFRAMES, EVERY))
+
+
+def test_bounded_decompress_defuses_decompression_bomb():
+    stride = W * H * 3
+    bomb = zlib.compress(b"\x00" * (stride * 4096), 9)  # ~3 MB → few KB
+    assert len(bomb) < stride * 4096 // 100
+    # image decode path
+    with pytest.raises(ValueError, match="inflates"):
+        codecs.decode(bomb, "zlib-rgb", W, H)
+    # video demux path: well-framed container whose frame 0 is the bomb
+    buf = (codecs.ZVID_MAGIC + (1).to_bytes(4, "big")
+           + len(bomb).to_bytes(4, "big") + bomb)
+    with pytest.raises(ValueError, match="frame 0"):
+        list(codecs._demux_zvid(buf, W, H, 1, 1))
+    # undersized and truncated streams are equally loud
+    small = zlib.compress(b"\x00" * (stride - 1), 9)
+    with pytest.raises(ValueError, match="inflates"):
+        codecs.decode(small, "zlib-rgb", W, H)
+    ok = zlib.compress(b"\x00" * stride, 9)
+    with pytest.raises(ValueError):
+        codecs.decode(ok[:-2], "zlib-rgb", W, H)
+
+
+def test_extract_features_off_grid_dims_null_phash(spark):
+    # a VALID 12×12 image (12 % 8 != 0) has no 8×8 avg_phash defined:
+    # phash columns are NULL, channel sums still exact — the stage must
+    # not crash on the reshape (dimensions are data, not config). Rows
+    # built by hand: the fixture generator only makes phash-able dims.
+    rows = []
+    for doc_id in range(4):
+        px = media.synth_pixels(doc_id % 8191, 12, 12)
+        rows.append((f"img-{doc_id}", codecs.encode(px, "rgb8"), 12, 12,
+                     "rgb8", f"caption for doc {doc_id}", 0))
+    out = (
+        media.extract_features(
+            spark.createDataFrame(rows, media.MEDIA_SCHEMA)
+        ).toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert out["phash"].isna().all() and out["phash_hamming"].isna().all()
+    for _, r in out.iterrows():
+        doc_id = int(r["image_id"].split("-")[1])
+        px = media.synth_pixels(doc_id % 8191, 12, 12)
+        want = px.astype(np.int64).sum(axis=(0, 1))
+        assert [r["sum_r"], r["sum_g"], r["sum_b"]] == want.tolist()
 
 
 # ---------- frame-sample pipeline vs DuckDB oracle ----------

@@ -52,8 +52,35 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def _bounded_decompress(data: bytes, expect: int) -> bytes:
+    """zlib-decompress untrusted ``data`` that must inflate to EXACTLY
+    ``expect`` bytes. The expansion is capped at ``expect + 1`` bytes
+    BEFORE any size check, so a crafted decompression bomb (zlib
+    ratios reach ~1000:1) costs one frame of memory, not the whole
+    expansion; under- and over-sized streams, truncated streams, and
+    trailing garbage all raise ValueError (the codec contract — never
+    a bare zlib.error)."""
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(data, expect + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt zlib payload: {e}") from e
+    if len(raw) != expect or not d.eof or d.unused_data:
+        raise ValueError(
+            f"zlib payload inflates to {'>' if len(raw) > expect else ''}"
+            f"{len(raw)} bytes (expected {expect})"
+            + (", with trailing data" if d.unused_data else "")
+            + ("" if d.eof or len(raw) > expect else ", stream truncated")
+        )
+    return raw
+
+
 def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Decode ``fmt`` bytes back to an (h, w, 3) uint8 pixel array."""
+    """Decode ``fmt`` bytes back to an (h, w, 3) uint8 pixel array.
+
+    Malformed payloads raise ValueError (compressed fmts via
+    :func:`_bounded_decompress`, so a decompression bomb cannot
+    exhaust worker memory)."""
     if fmt == "rgb8":
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "ppm":
@@ -63,13 +90,15 @@ def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
             idx = data.index(b"\n", idx) + 1
         return np.frombuffer(data, dtype=np.uint8, offset=idx).reshape(h, w, 3)
     if fmt == "zlib-rgb":
-        return np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
+        raw = _bounded_decompress(data, w * h * 3)
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "quant6":
         q = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
         # rescale 6-bit value to full 8-bit range: v*255/63 ≈ (v<<2)|(v>>4)
         return ((q << 2) | (q >> 4)).astype(np.uint8)
     if fmt == "zlib-quant6":
-        q = np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
+        raw = _bounded_decompress(data, w * h * 3)
+        q = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
         return ((q << 2) | (q >> 4)).astype(np.uint8)
     raise ValueError(f"unknown fmt {fmt!r}")
 
@@ -198,12 +227,10 @@ def _demux_zvid(buf: bytes, w: int, h: int, nframes: int, every: int):
         if off + ln > len(buf):
             raise ValueError(f"zvid: truncated inside frame {f} payload")
         if f % every == 0:
-            raw = zlib.decompress(buf[off:off + ln])
-            if len(raw) != stride:
-                raise ValueError(
-                    f"zvid: frame {f} decodes to {len(raw)} bytes, "
-                    f"expected {stride}"
-                )
+            try:
+                raw = _bounded_decompress(buf[off:off + ln], stride)
+            except ValueError as e:
+                raise ValueError(f"zvid: frame {f}: {e}") from e
             yield f, raw
         off += ln
     if off != len(buf):

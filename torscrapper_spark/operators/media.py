@@ -127,18 +127,33 @@ def extract_features(media: DataFrame) -> DataFrame:
     feature a quality gate thresholds on). Shuffle-free mapInPandas;
     the caption column is carried so downstream joins need no
     re-fetch.
+
+    Dimensions are data, not config (same posture as the hot-path
+    validator, operators/fetch.py): a valid image whose w/h are not
+    multiples of 8 has no avg_phash defined, so its phash columns are
+    NULL (sums still computed) instead of crashing the stage on the
+    8×8 reshape; a payload that fails to DECODE raises ValueError with
+    the image_id attached.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                px = codecs.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
-                ph = codecs.avg_phash(px)
+                w, h = int(r.w), int(r.h)
+                try:
+                    px = codecs.decode(bytes(r.bytes), r.fmt, w, h)
+                except (ValueError, TypeError) as e:
+                    raise ValueError(f"image {r.image_id}: {e}") from e
+                if h % 8 == 0 and w % 8 == 0 and h and w:
+                    ph = codecs.avg_phash(px)
+                    hamming = codecs.hamming64(ph, int(r.phash))
+                else:
+                    ph = hamming = None
                 sums = px.astype(np.int64).sum(axis=(0, 1))
                 rows.append((
-                    r.image_id, int(r.w), int(r.h), r.fmt, r.caption,
-                    ph, int(r.phash), codecs.hamming64(ph, int(r.phash)),
+                    r.image_id, w, h, r.fmt, r.caption,
+                    ph, int(r.phash), hamming,
                     int(sums[0]), int(sums[1]), int(sums[2]),
                 ))
             yield pd.DataFrame(
