@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 import duckdb
+from pyspark.sql import functions as F
 
 from torscrapper_spark.streaming import events as EV
 
@@ -44,6 +45,56 @@ def test_stateful_first_sight_matches_batch_and_duckdb(spark):
     assert got["user_id"].tolist() == oracle["user_id"].tolist()
     assert got["n_events"].tolist() == oracle["n_events"].tolist()
     assert got["first_seen_us"].tolist() == oracle["first_seen_us"].tolist()
+    # second independent cross-check: the batch DataFrame answer (the
+    # docstring's claim — streaming state must equal a plain groupBy)
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min(F.col("ts").cast("timestamp")))
+            .alias("first_seen_us"),
+        )
+        .orderBy("user_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == batch["n_events"].tolist()
+    assert got["first_seen_us"].tolist() == batch["first_seen_us"].tolist()
+
+
+def test_stateful_first_sight_null_ts_rows(spark, tmp_path):
+    """Null-ts rows must count toward n_events (SQL count(*)) without
+    crashing the min reduction (int(NaN)), and an all-null user's
+    first_seen_us must be NULL (SQL min semantics)."""
+    import datetime
+
+    rows = [
+        # user 1: one real ts among nulls; user 2: all null
+        (1, datetime.datetime(2024, 1, 1, 12, 0, 0), 1, "a", 1.0, "{}"),
+        (2, None, 1, "a", 1.0, "{}"),
+        (3, None, 1, "a", 1.0, "{}"),
+        (4, None, 2, "b", 1.0, "{}"),
+        (5, None, 2, "b", 1.0, "{}"),
+    ]
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "nulls")
+    os.makedirs(d)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    got = (
+        EV.stateful_first_sight(spark, d, n_batches=2)
+        .toPandas()
+        .sort_values(["user_id", "n_events"])
+        .groupby("user_id", as_index=False).last()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == [3, 2]
+    u1 = got.loc[got["user_id"] == 1, "first_seen_us"].iloc[0]
+    assert int(u1) == 1704110400000000  # 2024-01-01T12:00:00Z in µs
+    assert got.loc[got["user_id"] == 2, "first_seen_us"].isna().all()
 
 
 def test_stateful_first_sight_batch_split_invariance(spark):

@@ -176,9 +176,13 @@ def stateful_first_sight(
 
         n, first = state.get if state.exists else (0, None)
         for pdf in pdfs:
-            n += len(pdf)
-            m = int(pdf["ts_us"].min())
-            first = m if first is None or m < first else first
+            n += len(pdf)  # SQL count(*): null-ts rows still count
+            ts = pdf["ts_us"].dropna()  # SQL min: nulls ignored — an
+            # all-null chunk must not crash int(NaN); a user whose every
+            # ts is null keeps first=None (SQL min → NULL)
+            if len(ts):
+                m = int(ts.min())
+                first = m if first is None or m < first else first
         state.update((n, first))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "first_seen_us": [first]}
