@@ -166,7 +166,10 @@ def test_extract_features_plan_is_shuffle_free(spark):
         )._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
-    assert plan.count("MapInPandas") == 2, plan
+    # synthesize = MapInPandas; extract_features = a MapInArrow stage
+    # (nullable-int64 exactness — see the operator docstring)
+    assert plan.count("MapInPandas") == 1, plan
+    assert "MapInArrow" in plan, plan
 
 
 # ---------- video containers (kernel) ----------
@@ -316,6 +319,39 @@ def test_extract_features_off_grid_dims_null_phash(spark):
         px = media.synth_pixels(doc_id % 8191, 12, 12)
         want = px.astype(np.int64).sum(axis=(0, 1))
         assert [r["sum_r"], r["sum_g"], r["sum_b"]] == want.tolist()
+
+
+def test_extract_features_mixed_batch_keeps_int64_phash_exact(spark):
+    # one on-grid and one off-grid image in the SAME Arrow batch: the
+    # mixed int/None phash column must not coerce through float64,
+    # which silently corrupts any |hash| > 2^53 — use a full-width
+    # stored phash and demand bit-exact round-trip; also a NULL stored
+    # phash must yield NULL ref/hamming instead of int(NaN) crashing
+    big = (1 << 62) + 12345  # not representable in float64
+    on = media.synth_pixels(1, 16, 16)
+    off = media.synth_pixels(2, 12, 12)
+    rows = [
+        ("img-on", codecs.encode(on, "rgb8"), 16, 16, "rgb8", "c", big),
+        ("img-off", codecs.encode(off, "rgb8"), 12, 12, "rgb8", "c", 7),
+        ("img-nullref", codecs.encode(on, "rgb8"), 16, 16, "rgb8", "c",
+         None),
+    ]
+    out = {
+        r["image_id"]: r
+        for r in media.extract_features(
+            spark.createDataFrame(rows, media.MEDIA_SCHEMA).coalesce(1)
+        ).collect()
+    }
+    assert out["img-on"]["phash_ref"] == big  # bit-exact, no float trip
+    want_ph = codecs.avg_phash(on)
+    assert out["img-on"]["phash"] == want_ph
+    assert out["img-on"]["phash_hamming"] == codecs.hamming64(want_ph, big)
+    assert out["img-off"]["phash"] is None
+    assert out["img-off"]["phash_ref"] == 7
+    assert out["img-off"]["phash_hamming"] is None
+    assert out["img-nullref"]["phash"] == want_ph
+    assert out["img-nullref"]["phash_ref"] is None
+    assert out["img-nullref"]["phash_hamming"] is None
 
 
 # ---------- frame-sample pipeline vs DuckDB oracle ----------

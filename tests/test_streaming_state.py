@@ -16,14 +16,16 @@ from torscrapper_spark.streaming import events as EV
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
-def _final_rows(sink_df):
+def _final_rows(sink_df, require_multibatch=True):
     """Update-mode sinks re-emit a key each time its state changes; the
     final answer per key is the row with the max n_events (monotone)."""
     pdf = sink_df.toPandas()
-    assert len(pdf) > len(pdf["user_id"].unique()), (
-        "every key was emitted exactly once — the stream collapsed to a "
-        "single microbatch and the state handoff was never exercised"
-    )
+    if require_multibatch:
+        assert len(pdf) > len(pdf["user_id"].unique()), (
+            "every key was emitted exactly once — the stream collapsed "
+            "to a single microbatch and the state handoff was never "
+            "exercised"
+        )
     return (
         pdf.sort_values(["user_id", "n_events"])
         .groupby("user_id", as_index=False)
@@ -84,12 +86,11 @@ def test_stateful_first_sight_null_ts_rows(spark, tmp_path):
     spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
         f"{d}/events.parquet"
     )
-    got = (
-        EV.stateful_first_sight(spark, d, n_batches=2)
-        .toPandas()
-        .sort_values(["user_id", "n_events"])
-        .groupby("user_id", as_index=False).last()
-        .sort_values("user_id").reset_index(drop=True)
+    got = _final_rows(
+        EV.stateful_first_sight(spark, d, n_batches=2),
+        # 5 rows over 2 files may or may not re-emit a key; the split
+        # guard belongs to the big-fixture tests
+        require_multibatch=False,
     )
     assert got["n_events"].tolist() == [3, 2]
     u1 = got.loc[got["user_id"] == 1, "first_seen_us"].iloc[0]

@@ -66,8 +66,10 @@ def _bounded_decompress(data: bytes, expect: int) -> bytes:
     except zlib.error as e:
         raise ValueError(f"corrupt zlib payload: {e}") from e
     if len(raw) != expect or not d.eof or d.unused_data:
+        # when the cap stopped inflation, len(raw) == expect + 1 is a
+        # LOWER bound on the true inflated size, hence ">="
         raise ValueError(
-            f"zlib payload inflates to {'>' if len(raw) > expect else ''}"
+            f"zlib payload inflates to {'>=' if len(raw) > expect else ''}"
             f"{len(raw)} bytes (expected {expect})"
             + (", with trailing data" if d.unused_data else "")
             + ("" if d.eof or len(raw) > expect else ", stream truncated")

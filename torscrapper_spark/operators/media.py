@@ -9,10 +9,12 @@ standalone table transforms over the input-hint row shape
 ``(image_id:string, bytes:binary, w:int, h:int, fmt:string,
 caption:string, phash:long)``.
 
-100-TB posture: every operator here is a pure ``mapInPandas`` map
-stage — no shuffle, no driver collect, no per-row Python in the
-arithmetic (the codec registry's zlib/numpy calls are per-image C
-calls, the same granularity any image codec has). Payload crosses the
+100-TB posture: every operator here is a pure map stage
+(``mapInPandas``, or ``mapInArrow`` where nullable int64 exactness
+demands it — see :func:`extract_features`) — no shuffle, no driver
+collect, no per-row Python in the arithmetic (the codec registry's
+zlib/numpy calls are per-image C calls, the same granularity any image
+codec has). Payload crosses the
 JVM↔Python boundary once per stage; Arrow batch size (and therefore
 per-worker peak memory ≈ batch_rows × image_bytes) is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``. Partitioning is
@@ -124,45 +126,59 @@ def extract_features(media: DataFrame) -> DataFrame:
     :data:`codecs.PHASH_LOSSY_HAMMING` for lossy — the dedup/drift
     signal), and exact int64 per-channel pixel sums (the closed-form
     quantity the DuckDB oracle recomputes; also the cheap brightness
-    feature a quality gate thresholds on). Shuffle-free mapInPandas;
-    the caption column is carried so downstream joins need no
-    re-fetch.
+    feature a quality gate thresholds on). Shuffle-free map stage —
+    ``mapInArrow`` rather than ``mapInPandas``, deliberately: the
+    stored ``phash`` is a full-width int64 that may be NULL, and the
+    Arrow→pandas conversion coerces a nullable long column through
+    float64, silently corrupting any \\|hash\\| > 2^53; Arrow batches
+    round-trip nullable int64 exactly in both directions. The caption
+    column is carried so downstream joins need no re-fetch.
 
     Dimensions are data, not config (same posture as the hot-path
     validator, operators/fetch.py): a valid image whose w/h are not
     multiples of 8 has no avg_phash defined, so its phash columns are
     NULL (sums still computed) instead of crashing the stage on the
-    8×8 reshape; a payload that fails to DECODE raises ValueError with
-    the image_id attached.
+    8×8 reshape; NULL stored phash ⇒ NULL ref/hamming; a payload that
+    fails to DECODE raises ValueError with the image_id attached.
     """
+    import pyarrow as pa
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                w, h = int(r.w), int(r.h)
+    out_schema = pa.schema([
+        ("image_id", pa.string()), ("w", pa.int32()), ("h", pa.int32()),
+        ("fmt", pa.string()), ("caption", pa.string()),
+        ("phash", pa.int64()), ("phash_ref", pa.int64()),
+        ("phash_hamming", pa.int32()),
+        ("sum_r", pa.int64()), ("sum_g", pa.int64()), ("sum_b", pa.int64()),
+    ])
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            cols: dict[str, list] = {f.name: [] for f in out_schema}
+            for r in b.to_pylist():  # exact Python values, NULL → None
                 try:
-                    px = codecs.decode(bytes(r.bytes), r.fmt, w, h)
+                    w, h = int(r["w"]), int(r["h"])
+                    px = codecs.decode(bytes(r["bytes"]), r["fmt"], w, h)
                 except (ValueError, TypeError) as e:
-                    raise ValueError(f"image {r.image_id}: {e}") from e
+                    raise ValueError(f"image {r['image_id']}: {e}") from e
+                ref = r["phash"]
                 if h % 8 == 0 and w % 8 == 0 and h and w:
                     ph = codecs.avg_phash(px)
-                    hamming = codecs.hamming64(ph, int(r.phash))
+                    hamming = None if ref is None else codecs.hamming64(ph, ref)
                 else:
                     ph = hamming = None
                 sums = px.astype(np.int64).sum(axis=(0, 1))
-                rows.append((
-                    r.image_id, w, h, r.fmt, r.caption,
-                    ph, int(r.phash), hamming,
+                for name, v in zip(cols, (
+                    r["image_id"], w, h, r["fmt"], r["caption"],
+                    ph, ref, hamming,
                     int(sums[0]), int(sums[1]), int(sums[2]),
-                ))
-            yield pd.DataFrame(
-                rows, columns=["image_id", "w", "h", "fmt", "caption",
-                               "phash", "phash_ref", "phash_hamming",
-                               "sum_r", "sum_g", "sum_b"],
+                )):
+                    cols[name].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=f.type) for f in out_schema],
+                schema=out_schema,
             )
 
-    return media.mapInPandas(run, FEATURES_SCHEMA)
+    return media.mapInArrow(run, FEATURES_SCHEMA)
 
 
 def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
