@@ -300,15 +300,18 @@ def test_revoke_reseed_refetches_exactly_the_revoked(spark, tiny_dir, filt):
     assert (others == 1).all()
 
 
-def test_revoke_forget_unqueues_a_frontier_url(spark, tiny_dir):
+@pytest.mark.parametrize("filt", ["cuckoo", "bloom"])
+def test_revoke_forget_unqueues_a_frontier_url(spark, tiny_dir, filt):
     """Forget-mode revocation of a URL that is still QUEUED (in the
     frontier, not yet fetched) must remove it from the frontier in the
     same step it leaves seen — left behind it would fetch the
     just-revoked content next wave, and (absent from seen) links could
     re-queue it while queued, the exact double-queue the
-    ``frontier ⊆ seen`` invariant exists to prevent."""
+    ``frontier ⊆ seen`` invariant exists to prevent. Parametrized over
+    both filters so the bloom path's rebuild-from-compacted-seen (via
+    zeroed_like) gets end-to-end coverage too."""
     ps, seeds, robots, pol = _inputs(spark, tiny_dir)
-    cfg = _cfg(max_waves=2)
+    cfg = _cfg(max_waves=2, seen_filter=filt)
     store = SnapshotStore(tempfile.mkdtemp())
     C.run_crawl(spark, store, ps, seeds, robots, pol, cfg)
     w = store.last_wave()
@@ -340,7 +343,8 @@ def test_revoke_forget_unqueues_a_frontier_url(spark, tiny_dir):
 
     # the resumed crawl never fetches any URL twice: the revoked ones
     # were never fetched, so even link-rediscovery queues them once
-    C.run_crawl(spark, store, ps, seeds, robots, pol, _cfg(max_waves=w + 3))
+    C.run_crawl(spark, store, ps, seeds, robots, pol,
+                _cfg(max_waves=w + 3, seen_filter=filt))
     tr = _trace(spark, store)
     assert (tr.groupby("url").size() == 1).all()
 
@@ -445,3 +449,105 @@ def test_revoke_unknown_urls_is_a_noop(spark, tiny_dir):
     )
     assert out["revoked"] == 0
     assert store.last_wave() == w  # no snapshot published
+
+
+def test_revoke_reseed_applies_robots_gate(spark, tiny_dir):
+    """Reseed is a frontier insert, and every frontier-insert path
+    applies the A10 robots gate: a reseeded URL whose rules now
+    disallow it must stay OUT of the queue (and stay in seen)."""
+    ps, seeds, robots, pol = _inputs(spark, tiny_dir)
+    cfg = _cfg(max_waves=2)
+    store = SnapshotStore(tempfile.mkdtemp())
+    C.run_crawl(spark, store, ps, seeds, robots, pol, cfg)
+    w = store.last_wave()
+
+    fetched = (
+        store.read_outputs(spark, "trace")
+        .filter("status = 200").select("url").distinct().limit(20).toPandas()
+    )
+    doms = fetched["url"].str.extract(r"^http://([^/]+)/")[0]
+    # two fetched URLs from two different domains
+    pick = fetched[~doms.duplicated()].head(2).reset_index(drop=True)
+    assert len(pick) == 2
+    blocked_url, allowed_url = pick["url"][0], pick["url"][1]
+    blocked_dom = doms[~doms.duplicated()].reset_index(drop=True)[0]
+    new_rules = spark.createDataFrame(
+        pd.DataFrame({"domain": [blocked_dom], "disallow": [["/"]]})
+    )
+    out = C.revoke_urls(
+        spark, store, spark.createDataFrame(pick[["url"]]), cfg,
+        reseed=True, robots=new_rules,
+    )
+    assert out["revoked"] == 2  # both were in seen — both count
+    front = set(
+        r.url for r in store.read(spark, "frontier", w + 1)
+        .select("url").collect()
+    )
+    assert allowed_url in front
+    assert blocked_url not in front  # gated out, stays in seen
+    C.run_crawl(spark, store, ps, seeds, robots, pol,
+                _cfg(max_waves=w + 4))
+    counts = _trace(spark, store).groupby("url").size()
+    assert counts[allowed_url] == 2
+    assert counts[blocked_url] == 1
+
+
+def test_revoke_reseed_on_crashed_forget_raises(spark, tiny_dir):
+    """Queued-but-not-seen is the crashed-forget state; a reseed over it
+    must refuse loudly (silently unqueueing would execute the OPPOSITE
+    of the request and mislabel the audit), and the documented repair
+    (re-running with reseed=False) must still converge afterwards."""
+    ps, seeds, robots, pol = _inputs(spark, tiny_dir)
+    cfg = _cfg(max_waves=2)
+    store = SnapshotStore(tempfile.mkdtemp())
+    C.run_crawl(spark, store, ps, seeds, robots, pol, cfg)
+    w = store.last_wave()
+    queued = (
+        store.read(spark, "frontier", w)
+        .select("url", "url_hash").limit(2).toPandas()
+    )
+    rev_df = spark.createDataFrame(queued[["url"]])
+    orig_write = store.write
+
+    def boom(df, table, wave, **kw):
+        if table == "frontier":
+            raise RuntimeError("injected crash before frontier write")
+        return orig_write(df, table, wave, **kw)
+
+    store.write = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            C.revoke_urls(spark, store, rev_df, cfg)
+    finally:
+        store.write = orig_write
+
+    with pytest.raises(ValueError, match="crashed forget"):
+        C.revoke_urls(spark, store, rev_df, cfg, reseed=True)
+    assert store.last_wave() == w  # the refusal published nothing
+
+    out = C.revoke_urls(spark, store, rev_df, cfg)  # documented repair
+    assert out["repaired"] == 2 and store.last_wave() == w + 1
+
+
+def test_zeroed_like_preserves_grown_nbits(spark):
+    """The forget-mode bloom rebuild seeds from zeroed copies of the
+    live shards: per-shard nbits that the saturation guard grew must
+    survive (resetting to the configured size would re-pack the full
+    seen set into undersized bitmaps)."""
+    from torscrapper_spark.operators import seen as S
+
+    rows = pd.DataFrame({
+        "pid": pd.Series([0, 1, 2], dtype="int32"),
+        # shard 1 was grown to 2× nbits; give every bitmap set bits
+        "bitmap": [bytes([0xFF] * 128), bytes([0xFF] * 256),
+                   bytes([0xFF] * 128)],
+        "nbits": pd.Series([1024, 2048, 1024], dtype="int32"),
+        "k": pd.Series([3, 3, 3], dtype="int32"),
+    })
+    bloom = spark.createDataFrame(rows, S.BLOOM_SCHEMA)
+    z = {r.pid: r for r in S.zeroed_like(spark, bloom).collect()}
+    assert [z[p].nbits for p in (0, 1, 2)] == [1024, 2048, 1024]
+    assert all(z[p].k == 3 for p in (0, 1, 2))
+    for p in (0, 1, 2):
+        b = bytes(z[p].bitmap)
+        assert len(b) == z[p].nbits // 8 and not any(b)

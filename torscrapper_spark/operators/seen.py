@@ -68,6 +68,30 @@ def empty_bloom(spark, num_shards: int, nbits: int, k: int) -> DataFrame:
     return spark.createDataFrame(pdf, BLOOM_SCHEMA)
 
 
+def zeroed_like(spark, bloom: DataFrame) -> DataFrame:
+    """Empty bitmaps PRESERVING each shard's (possibly grown) nbits/k.
+
+    The forget-mode bloom rebuild (plans/crawl.py ``revoke_urls``) must
+    not reset shards that :func:`grow_saturated_shards` has doubled back
+    to the configured size — re-inserting the full seen set into
+    undersized bitmaps would drive their fill toward 1.0 and send nearly
+    every probe to the exact residual until the next wave's saturation
+    guard re-grows them. Shard meta is (pid, nbits, k) — tiny regardless
+    of bitmap bytes, so the driver-side collect is bounded the same way
+    the saturation guard's stats collect is.
+    """
+    meta = bloom.select("pid", "nbits", "k").toPandas()
+    return spark.createDataFrame(
+        pd.DataFrame({
+            "pid": meta["pid"].astype("int32"),
+            "bitmap": [bytes(int(n) // 8) for n in meta["nbits"]],
+            "nbits": meta["nbits"].astype("int32"),
+            "k": meta["k"].astype("int32"),
+        }),
+        BLOOM_SCHEMA,
+    )
+
+
 def with_pid(df: DataFrame, num_shards: int, hash_col: str = "url_hash") -> DataFrame:
     return df.withColumn(
         "pid", F.pmod(F.col(hash_col), F.lit(num_shards)).cast("int")

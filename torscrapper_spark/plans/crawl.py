@@ -67,6 +67,7 @@ from ..operators.seen import (
     probe_bloom,
     update_bloom,
     with_pid,
+    zeroed_like,
 )
 from ..operators.seq import with_global_seq
 from ..sources.tableio import SnapshotStore
@@ -875,6 +876,7 @@ def revoke_urls(
     urls: DataFrame,
     cfg: CrawlConfig = CrawlConfig(),
     reseed: bool = False,
+    robots: DataFrame | None = None,
 ) -> dict:
     """Seed revocation — the end-to-end consumer of the cuckoo filter's
     DELETION capability (BASELINE.json:6 "cuckoo/bloom"; deletion is
@@ -940,7 +942,15 @@ def revoke_urls(
       frontier would break both invariants (equivalently: this mode IS
       forget + instant rediscovery, with no false-negative window in
       between). Nothing to compact or delete; the filter state is
-      carried forward to ``w+1`` for the resume read.
+      carried forward to ``w+1`` for the resume read. Pass the crawl's
+      ``robots`` table to apply the A10 gate to the re-queued rows —
+      every other frontier-insert path (init_state, job_frontier) gates
+      on robots, and a URL whose rules changed since discovery must not
+      re-enter the queue; with ``robots=None`` the rows are re-queued
+      ungated (explicit operator override). Reseeding URLs that a
+      CRASHED forget already removed from seen raises instead of
+      guessing: repair with ``reseed=False`` first (the keys must be in
+      seen for reseed's invariants to hold).
     """
     w = store.last_wave()
     if w is None:
@@ -991,6 +1001,18 @@ def revoke_urls(
         if queued_n == 0:
             return {"revoked": 0, "wave": w,
                     "seen_total": int(manifest["seen_total"])}
+        if reseed:
+            # queued-but-not-seen is exactly the crashed-forget state;
+            # silently unqueueing here would execute the OPPOSITE of the
+            # requested reseed and mislabel the manifest audit. Reseed
+            # needs the keys in seen (its whole point is keeping them
+            # there) — make the operator repair first, explicitly.
+            raise ValueError(
+                f"reseed revocation: {queued_n} key(s) are queued but "
+                "absent from seen — the store shows a crashed forget "
+                "revocation. Re-run with reseed=False to repair "
+                "(unqueue), then reseed."
+            )
         frontier = frontier.join(key_hashes, "url_hash", "left_anti")
         # the crash may also have preceded the filter's w+1 write; carry
         # wave w's filter forward (stale fingerprints are mere false
@@ -1030,6 +1052,11 @@ def revoke_urls(
             F.lit(0).cast("int").alias("depth"),
             F.lit(w).cast("int").alias("discovered_wave"),
         )
+        if robots is not None:
+            # the A10 gate every other frontier-insert path applies;
+            # a rule that now disallows the URL keeps it out of the
+            # queue (it stays in seen either way)
+            re_rows = robots_gate(re_rows, robots)
         frontier = frontier.select(*FRONTIER_COLS).unionByName(
             re_rows.select(*FRONTIER_COLS)
         )
@@ -1057,22 +1084,40 @@ def revoke_urls(
                 key_hashes, "url_hash", "left_anti"
             ),
         )
-        seen_total = store.read_upto(spark, "seen", w).count()
+        # seen rows are unique per url_hash by construction (every wave
+        # delta is an exact anti-join against seen, wave-0 seeds are
+        # deduped), so the post-revocation count is exactly derivable —
+        # no third full scan of the 10^10-row table
+        seen_total = int(manifest["seen_total"]) - n_rev
         if cfg.use_bloom:
             if cfg.seen_filter == "cuckoo":
                 flt = delete_cuckoo(
                     store.read(spark, "cuckoo", w), rev, cfg.bloom_shards
                 )
-                store.write(flt, "cuckoo", w + 1)
+                # file count bounded by shard BYTES, not the delete's
+                # shuffle width (the job_filter_cuckoo write rule)
+                shard_bytes = cfg.bloom_shards * cfg.cuckoo_buckets * 8
+                store.write(
+                    flt.repartition(max(1, shard_bytes // (64 << 20))),
+                    "cuckoo", w + 1,
+                )
             else:
+                # rebuild seeded from zeroed-out copies of wave w's
+                # shards so saturation-grown nbits survive revocation —
+                # resetting to cfg.bloom_bits would re-pack the full
+                # seen set into undersized bitmaps and push their fill
+                # toward 1.0 (every probe → exact residual) until the
+                # next saturation rebuild
                 flt = update_bloom(
-                    empty_bloom(
-                        spark, cfg.bloom_shards, cfg.bloom_bits, cfg.bloom_k
-                    ),
+                    zeroed_like(spark, store.read(spark, "bloom", w)),
                     store.read_upto(spark, "seen", w),
                     cfg.bloom_shards,
                 )
-                store.write(flt, "bloom", w + 1)
+                shard_bytes = cfg.bloom_shards * (cfg.bloom_bits // 8)
+                store.write(
+                    flt.repartition(max(1, shard_bytes // (64 << 20))),
+                    "bloom", w + 1,
+                )
     return _publish_revocation(
         store, frontier, manifest, w, n_rev, seen_total, reseed, cfg, out
     )
