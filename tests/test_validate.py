@@ -106,3 +106,76 @@ def test_offgrid_dimensions_fail_phash_not_task(spark, tiny_tables):
     assert out.loc[0, "decode_ok"] and out.loc[0, "psnr_ok"]
     assert not out.loc[0, "phash_match"] and not out.loc[0, "valid"]
     assert out.loc[1, "valid"]
+
+
+def test_hostile_dimensions_invalidate_rows_not_task(spark, tiny_tables):
+    """Dimensions are untrusted data: negative, zero, or absurd (h, w)
+    must mark the ROWS invalid without killing the task — np.zeros on a
+    negative or multi-GB scratch shape would die before any per-row
+    decode try could fire."""
+    pdf = _rows(tiny_tables, 4)
+    pdf.loc[pdf.index[0], ["w", "h"]] = [-8, 8]
+    pdf.loc[pdf.index[1], ["w", "h"]] = [0, 0]
+    pdf.loc[pdf.index[2], ["w", "h"]] = [1 << 16, 1 << 16]  # 4 TB scratch
+    out = _validate(spark, pdf).sort_values("url_hash").reset_index(drop=True)
+    assert not out.loc[0, "valid"] and not out.loc[0, "decode_ok"]
+    assert not out.loc[1, "valid"] and not out.loc[1, "decode_ok"]
+    assert not out.loc[2, "valid"] and not out.loc[2, "decode_ok"]
+    assert out.loc[3, "valid"]  # the clean row in the same batch
+
+
+def test_scratch_chunk_shrinks_for_large_images():
+    """The per-(h, w) scratch entry is byte-capped: large images shrink
+    the chunk (floor 1) instead of pinning 26·64·h·w bytes, and
+    off-grid entries skip the phash-only gray3 buffer."""
+    from torscrapper_spark.operators import fetch as FT
+
+    FT._SCRATCH.clear()
+    small = FT._bufs(16, 16, True)
+    assert small["a"].shape[0] == FT._CHUNK and "gray3" in small
+    big = FT._bufs(2048, 2048, True)
+    assert big["a"].shape[0] == 1  # 26·64·2048² would be ~7 GB
+    offgrid = FT._bufs(12, 12, False)
+    assert "gray3" not in offgrid
+    FT._SCRATCH.clear()
+
+
+def test_fetch_join_status_matches_refsim_on_half_null_rows(spark):
+    """The hit/miss rule is the refsim's exact one — status 200 iff the
+    store row's html is non-null: a present row with NULL html must
+    trace 404 (the simulator's pages.get returns None), and a NULL
+    image_id with html present must trace 200. Keying status on any
+    other nullable payload column silently diverges the trace."""
+    from torscrapper_spark.operators.fetch import fetch_join
+
+    store = spark.createDataFrame(
+        pd.DataFrame({
+            "url": ["http://a.onion/1", "http://a.onion/2"],
+            "url_hash": pd.Series([1, 2], dtype="int64"),
+            "image_id": ["img-1", None],
+            "bytes": [b"", b""],
+            "w": pd.Series([8, 8], dtype="int32"),
+            "h": pd.Series([8, 8], dtype="int32"),
+            "fmt": ["rgb8", "rgb8"],
+            "caption": ["c", "c"],
+            "ref_caption": ["c", "c"],
+            "phash": pd.Series([0, 0], dtype="int64"),
+            "ref_bytes": [b"", b""],
+            "html": [None, "<a href='x'></a>"],
+        })
+    )
+    wave = spark.createDataFrame(
+        pd.DataFrame({
+            "url": ["http://a.onion/1", "http://a.onion/2",
+                    "http://a.onion/3"],
+            "url_hash": pd.Series([1, 2, 3], dtype="int64"),
+            "domain": ["a.onion"] * 3,
+            "depth": pd.Series([0, 0, 0], dtype="int32"),
+            "discovered_wave": pd.Series([0, 0, 0], dtype="int32"),
+        })
+    )
+    out = fetch_join(wave, store).select("url_hash", "status").toPandas()
+    status = dict(zip(out["url_hash"], out["status"]))
+    assert status == {1: 404,   # present but html NULL — refsim says 404
+                      2: 200,   # image_id NULL but html present — 200
+                      3: 404}   # true miss

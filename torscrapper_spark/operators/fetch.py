@@ -88,9 +88,16 @@ def fetch_join(selected: DataFrame, pagestore: DataFrame) -> DataFrame:
     hits = pagestore.join(F.broadcast(selected), join_keys, "inner")
     # 404s: anti-join against the store's KEY columns (column-pruned
     # scan — never re-reads the payload; deriving misses from `hits`
-    # would scan the full store a second time)
+    # would both re-scan the store AND add a fixed broadcast job per
+    # wave, tests/test_jobfloor.py). Deliberately NO broadcast hint on
+    # the store side: a forced broadcast collects O(store) keys to the
+    # driver — dead far below 10^10 (Spark's broadcast-table cap,
+    # driver heap) — while AQE picks broadcast only while the (bucket-
+    # pruned) key set is actually small and degrades to a distributed
+    # shuffle join beyond that, which is scale-correct: the wave side
+    # is politeness-bounded, the key side is column-pruned.
     misses = selected.join(
-        F.broadcast(pagestore.select(*join_keys)), join_keys, "left_anti"
+        pagestore.select(*join_keys), join_keys, "left_anti"
     )
     payload_cols = {
         "image_id": "string", "bytes": "binary", "w": "int", "h": "int",
@@ -104,10 +111,16 @@ def fetch_join(selected: DataFrame, pagestore: DataFrame) -> DataFrame:
     # becomes float64 on the Arrow→pandas hop and silently loses
     # precision above 2^53 (observed as corrupted phash values), so pin
     # them to 0 — status 404 already marks the row invalid.
+    # Hit/miss keyed on html presence — the refsim's exact rule
+    # (refsim.py `pages.get(url)`, status 200 iff html is not None): a
+    # store row whose html is NULL must trace as 404 like the simulator,
+    # and keying on any OTHER nullable payload column (image_id) would
+    # silently diverge the trace on half-null rows. Misses from the
+    # anti-join have html NULL by construction, so one rule covers both.
     return (
         fetched.withColumn(
             "status",
-            F.when(F.col("image_id").isNull(), F.lit(404)).otherwise(F.lit(200)),
+            F.when(F.col("html").isNull(), F.lit(404)).otherwise(F.lit(200)),
         )
         .withColumn("phash", F.coalesce(F.col("phash"), F.lit(0)))
         .withColumn("w", F.coalesce(F.col("w"), F.lit(0)))
@@ -124,27 +137,38 @@ def fetch_join(selected: DataFrame, pagestore: DataFrame) -> DataFrame:
 # the same pages; persistent buffers pay that cost exactly once.
 _CHUNK = 64
 _SCRATCH: dict[tuple[int, int], dict[str, np.ndarray]] = {}
-# LRU bound: each (h, w) entry pins ~26·_CHUNK·h·w bytes (~109 MB at
-# 256²) for the worker's lifetime; against a real store with
-# heterogeneous image sizes an unbounded dict would OOM the Python
+# LRU bound: each (h, w) entry pins up to ~26·chunk·h·w bytes (~109 MB
+# at 256², chunk 64) for the worker's lifetime; against a real store
+# with heterogeneous image sizes an unbounded dict would OOM the Python
 # worker after a few dozen distinct sizes. 4 entries cover the
 # realistic per-batch size mix while keeping the worst case bounded.
 _SCRATCH_MAX = 4
+# per-entry byte cap: for large images the chunk SHRINKS (floor 1) so a
+# legitimate 2048² group costs one image of scratch per step instead of
+# 64 — entry-count bounds alone do not bound bytes
+_SCRATCH_ENTRY_BYTES = 128 << 20
+# dims are untrusted data (a hostile store row / fetcher response):
+# groups beyond this pixel count are marked invalid instead of
+# allocating multi-GB scratch. 2^24 ≈ 4096², far above any fixture.
+_MAX_PIXELS = 1 << 24
 
 
-def _bufs(h: int, w: int) -> dict[str, np.ndarray]:
+def _bufs(h: int, w: int, grid_ok: bool) -> dict[str, np.ndarray]:
     b = _SCRATCH.pop((h, w), None)
     if b is None:
         while len(_SCRATCH) >= _SCRATCH_MAX:
             _SCRATCH.pop(next(iter(_SCRATCH)))  # evict least-recent
-        shape = (_CHUNK, h, w, 3)
+        chunk = max(1, min(_CHUNK, _SCRATCH_ENTRY_BYTES // (26 * h * w)))
+        shape = (chunk, h, w, 3)
         b = {
             "a": np.zeros(shape, np.uint8),
             "r": np.zeros(shape, np.uint8),
             "d": np.zeros(shape, np.int16),
             "sq": np.zeros(shape, np.int32),
-            "gray3": np.zeros((_CHUNK, h, w), np.uint16),
         }
+        if grid_ok:
+            # the phash-only buffer is dead weight for off-grid (h, w)
+            b["gray3"] = np.zeros((chunk, h, w), np.uint16)
     _SCRATCH[(h, w)] = b  # (re)insert at the most-recent end
     return b
 
@@ -159,13 +183,21 @@ def _validate_group(
     downstream (PSNR, perceptual hash, Hamming distance) runs over the
     stacked (chunk, h, w, 3) array, not per row.
     """
+    if not (0 < h and 0 < w and h * w <= _MAX_PIXELS):
+        # hostile dimensions (negative, zero, or absurd): the rows stay
+        # decode_ok=False → invalid, and the TASK stays alive — np.zeros
+        # on a negative or multi-GB shape would kill it before any
+        # per-row try could fire
+        return
     byte_vals = pdf["bytes"].to_numpy()
     ref_vals = pdf["ref_bytes"].to_numpy()
     stored_all = pdf["phash"].to_numpy()
     lossy = fmt in LOSSY_FMTS
-    bufs = _bufs(h, w)
-    for c0 in range(0, len(rows), _CHUNK):
-        chunk = rows[c0:c0 + _CHUNK]
+    grid_ok = h % 8 == 0 and w % 8 == 0  # loop-invariant phash gate
+    bufs = _bufs(h, w, grid_ok)
+    chunk_rows = bufs["a"].shape[0]  # shrinks for large (h, w)
+    for c0 in range(0, len(rows), chunk_rows):
+        chunk = rows[c0:c0 + chunk_rows]
         a_buf, r_buf = bufs["a"], bufs["r"]
         good = []
         for i in chunk:
@@ -211,7 +243,7 @@ def _validate_group(
         # precondition is h, w multiples of 8 — fetched dimensions are
         # untrusted data, so an off-grid size fails the phash GATE
         # (phash_match stays False) instead of crashing the reshape
-        if h % 8 or w % 8:
+        if not grid_ok:
             continue
         g3 = bufs["gray3"][:k]
         np.sum(a, axis=3, dtype=np.uint16, out=g3)
@@ -335,7 +367,7 @@ def _synth_fetch_pdf(pdf, cfg, rx, generate_page, page_url) -> pd.DataFrame:
     ]].copy()
     for c, vals in payload.items():
         out[c] = vals
-    return out[[c for c in FETCH_COLS]]
+    return out[FETCH_COLS]
 
 
 def _validate_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
