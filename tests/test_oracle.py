@@ -85,3 +85,45 @@ def test_q11_asof_tiebreak_duplicate_ts(spark, tmp_path):
     assert by_id[100] == 2.0   # id 11 beats id 10 at equal ts
     assert by_id[200] == 7.0   # id 23 beats id 22 at ts == error ts
     assert pd.isna(by_id[300])
+
+
+def test_q19b_kmv_sketch_accuracy(spark):
+    """The q19b sketches must be good ESTIMATORS, not just
+    oracle-parity-matched: KMV with K=128 has relative stderr
+    ~1/sqrt(K-2) ≈ 8.9%, so the estimate must land within 20% (~2.2σ)
+    of the exact distinct count wherever the group exceeds K distinct
+    values (below K the sketch IS the exact count); the 1/4
+    hash-sample's lower median must sit at a population rank within
+    2.5σ of 0.5, where σ = 0.5/sqrt(n_sampled) is the sample-median
+    quantile stderr. Frozen fixtures → deterministic."""
+    import duckdb
+
+    from torscrapper_spark.queries import KMV_K
+
+    fn, _ = _REG["q19b_approx_distinct"]
+    got = fn(spark, SF_DIR).toPandas().set_index("event_type")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    exact = con.execute(
+        """SELECT event_type, COUNT(DISTINCT user_id) AS d
+           FROM events GROUP BY 1"""
+    ).df().set_index("event_type")
+    assert len(got) == len(exact)
+    for et, row in exact.iterrows():
+        est = got.loc[et, "est_users"]
+        if row["d"] < KMV_K:
+            assert est == row["d"], (et, est, row["d"])
+        else:
+            assert abs(est - row["d"]) / row["d"] <= 0.20, (et, est, row["d"])
+        med = got.loc[et, "approx_median_value"]
+        n_sampled = int(got.loc[et, "n_sampled"])
+        rank = con.execute(
+            "SELECT avg(CAST(value <= ? AS DOUBLE)) FROM events "
+            "WHERE event_type = ?",
+            [float(med), et],
+        ).fetchone()[0]
+        tol = 2.5 * 0.5 / n_sampled**0.5
+        assert abs(rank - 0.5) <= tol, (et, med, rank, n_sampled, tol)

@@ -611,17 +611,116 @@ def q19(spark, sf):
     )
 
 
-@q("q19b_approx_distinct", None)  # HLL/percentile sketches + xxhash64 have no
-def q19b(spark, sf):          # DuckDB counterpart → rows-only (absorbs round
-    # 1's q25b_xxhash64: the registry is capped at 50 driver slots)
-    e = t(spark, sf, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("percentile_approx(value, 0.5)").alias("approx_median_value"),
-        F.xxhash64(F.min("event_type")).alias("type_xxh64"),
-        F.hash(F.min("event_type")).alias("type_hash32"),
-        F.crc32(F.min("event_type").cast("binary")).alias("type_crc32"),
+KMV_K = 128         # sketch size: keep the K smallest hashes per group
+KMV_SPACE = float(1 << 60)  # hash space: 15 hex digits of md5 → [0, 2^60)
+MED_SAMPLE_MOD = 4  # hash-sample 1/4 of rows for the median sketch
+
+
+def _md5_60(col):
+    """Uniform 60-bit hash both engines compute bit-identically:
+    md5 of the value's decimal-string form, first 15 hex digits as
+    int64. SQL mirror: ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1,
+    15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
     )
+
+
+@q("q19b_approx_distinct", f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), kmv AS (
+  SELECT event_type, COUNT(*) AS n_mins, MAX(h) AS kth_min_hash
+  FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+), samp AS (
+  SELECT event_type, value
+  FROM events
+  WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)
+        % {MED_SAMPLE_MOD} = 0
+), sr AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS s
+  FROM samp
+), med AS (
+  SELECT event_type, value AS approx_median_value, s AS n_sampled
+  FROM sr WHERE rn = CAST(floor((s + 1) / 2) AS BIGINT)
+)
+SELECT kmv.event_type, n_mins, kth_min_hash,
+       CASE WHEN n_mins < {KMV_K} THEN CAST(n_mins AS DOUBLE)
+            ELSE ({float(KMV_K - 1)} * {KMV_SPACE})
+                 / CAST(kth_min_hash AS DOUBLE) END AS est_users,
+       med.n_sampled, med.approx_median_value
+FROM kmv JOIN med USING (event_type)
+""")
+def q19b(spark, sf):
+    """Approx-distinct + approx-median sketches with EXACT cross-engine
+    oracle parity (upgraded from HLL/percentile_approx, which are
+    implementation-defined and forced this slot to rows-only through
+    round 4).
+
+    - Distinct: KMV (k-minimum-values) — keep the K smallest 60-bit
+      md5-derived hashes of ``user_id`` per group; estimate
+      D ≈ (K-1) / U(K) where U(K) = kth_min_hash / 2^60. Every input to
+      the double arithmetic is an exact integer (≤ 2^60) or a power of
+      two, so Spark and DuckDB produce the identical IEEE-754 result.
+      At 100 TB the distinct+window shuffles hash-partition on the
+      group key once (Catalyst reuses the exchange) and each group
+      retains only K rows.
+    - Median: exact lower median (rank ⌈s/2⌉) of a deterministic 1/4
+      hash-sample keyed on ``event_id`` — a sample-quantile sketch both
+      engines draw identically, no interpolation ambiguity.
+
+    xxhash64/hash/crc32 coverage that previously rode this rows-only
+    slot lives in the crawl trace fingerprints (pinned bit-exact in
+    tests/test_crawl_equivalence.py) and q25's hash family.
+    """
+    e = t(spark, sf, "events")
+    d = e.select(
+        "event_type", _md5_60(F.col("user_id")).alias("h")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    kmv = (
+        d.withColumn("rn", rn)
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_mins"), F.max("h").alias("kth_min_hash"))
+    )
+    est = F.when(
+        F.col("n_mins") < KMV_K, F.col("n_mins").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(KMV_SPACE)
+        / F.col("kth_min_hash").cast("double")
+    )
+    kmv = kmv.select("event_type", "n_mins", "kth_min_hash",
+                     est.alias("est_users"))
+    samp = e.filter(
+        _md5_60(F.col("event_id")) % MED_SAMPLE_MOD == 0
+    ).select("event_type", "value")
+    med = (
+        samp.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("value")
+            ),
+        )
+        .withColumn(
+            "s", F.count("*").over(Window.partitionBy("event_type"))
+        )
+        .filter(F.col("rn") == F.floor((F.col("s") + 1) / 2))
+        .select(
+            "event_type",
+            F.col("s").alias("n_sampled"),
+            F.col("value").alias("approx_median_value"),
+        )
+    )
+    return kmv.join(med, "event_type")
 
 
 # ---------------------------------------------------------------------------
