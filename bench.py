@@ -681,13 +681,19 @@ def main():
             ]
         except ValueError:
             rep_spec = [3]
-        campaigns = []
-        for pi, n_small in enumerate(SCALE_NS):
-            repeat = rep_spec[min(pi, len(rep_spec) - 1)]
-            ns = (n_small, n_small * 4)
+        def repeat_pair(ns, mode, repeat, persist):
+            """Run one (N, 4N) pair `repeat` times: every run recorded
+            in history, the best-efficiency run is the summary figure,
+            `identical_all` ANDs the per-run trace-equality flags (the
+            protocol's 'traces must be identical in EVERY run' — the
+            best run's flag alone could mask a nondeterminism bug in a
+            discarded repeat). `persist` is called with the running
+            state after every run so a time-boxed round keeps completed
+            evidence even if a later leg is cut off."""
             history, best, best_eff, best_ident = [], None, None, None
+            state = None
             for _ in range(repeat):
-                r, e, ident = run_pair(ns, "scaling")
+                r, e, ident = run_pair(ns, mode)
                 history.append({
                     "eff": round(e, 3),
                     "urls_small": r[ns[0]]["urls_per_sec"],
@@ -698,22 +704,26 @@ def main():
                 })
                 if best_eff is None or e > best_eff:
                     best, best_eff, best_ident = r, e, ident
+                state = {
+                    "pair": ns, "history": history, "best": best,
+                    "eff": best_eff, "identical": best_ident,
+                    "identical_all": all(h["identical"] for h in history),
+                }
+                persist(state)
+            return state
+
+        campaigns = []
+        for pi, n_small in enumerate(SCALE_NS):
+            repeat = rep_spec[min(pi, len(rep_spec) - 1)]
+            ns = (n_small, n_small * 4)
+
+            def persist_campaign(state):
                 with open(os.path.join(REPO, "BENCH",
                                        "scaling_partial.json"), "w") as pf:
-                    json.dump(campaigns + [{
-                        "pair": ns, "history": history, "best": best,
-                        "eff": best_eff, "identical": best_ident,
-                    }], pf, indent=1)
-            campaigns.append({
-                "pair": ns, "history": history, "best": best,
-                "eff": best_eff, "identical": best_ident,
-            })
-            # persist partial campaign state after every pair: a
-            # time-boxed round must keep the completed pairs' evidence
-            # even if a later leg is cut off at the round boundary
-            with open(os.path.join(REPO, "BENCH",
-                                   "scaling_partial.json"), "w") as pf:
-                json.dump(campaigns, pf, indent=1)
+                    json.dump(campaigns + [state], pf, indent=1)
+
+            campaigns.append(repeat_pair(ns, "scaling", repeat,
+                                         persist_campaign))
 
         head = campaigns[0]
         ceiling = ceiling_probe(
@@ -721,16 +731,36 @@ def main():
                     *(c["pair"][1] for c in campaigns)})
         )
         store_results = store_eff = store_identical = None
+        store_history = []
         if with_store:
-            store_results, store_eff, store_identical = run_pair(
-                head["pair"], "store"
-            )
-            with open(os.path.join(REPO, "BENCH",
-                                   "scaling_partial_store.json"), "w") as pf:
-                json.dump({
-                    "results": store_results, "eff": store_eff,
-                    "identical": store_identical,
-                }, pf, indent=1)
+            # the store pair gets the SAME repeat/best-of protocol as
+            # the headline pair (it previously ran once, so a single
+            # bad-tenancy leg was the published number with no
+            # recourse): every run is reported, the least-contended one
+            # is the summary figure, traces must be identical in all
+            try:
+                store_repeat = max(
+                    1, int(os.environ.get("TS_STORE_REPEAT", "2")))
+            except ValueError:
+                store_repeat = 2
+
+            def persist_store(state):
+                with open(os.path.join(REPO, "BENCH",
+                                       "scaling_partial_store.json"),
+                          "w") as pf:
+                    json.dump({
+                        "results": state["best"], "eff": state["eff"],
+                        "identical": state["identical"],
+                        "identical_all": state["identical_all"],
+                        "history": state["history"],
+                    }, pf, indent=1)
+
+            store_state = repeat_pair(head["pair"], "store", store_repeat,
+                                      persist_store)
+            store_results = store_state["best"]
+            store_eff = store_state["eff"]
+            store_identical = store_state["identical_all"]
+            store_history = store_state["history"]
         submit_info = None
         if with_submit:
             big = head["pair"][1]
@@ -744,7 +774,8 @@ def main():
             }
         write_baseline_md(campaigns, ceiling,
                           store_results, store_eff, store_identical,
-                          submit_info, store_sf=sf)
+                          submit_info, store_sf=sf,
+                          store_history=store_history)
         pair = head["pair"]
         line = {
             "metric": f"scaling_efficiency_{pair[0]}_to_{pair[1]}",
@@ -752,7 +783,10 @@ def main():
             "unit": "ratio",
             f"urls_per_sec_local{pair[0]}": head["best"][pair[0]]["urls_per_sec"],
             f"urls_per_sec_local{pair[1]}": head["best"][pair[1]]["urls_per_sec"],
-            "traces_identical": head["identical"],
+            # AND over every repeat of the headline pair, not just the
+            # best run: a nondeterminism bug in a discarded repeat must
+            # not vanish from the summary
+            "traces_identical": head["identical_all"],
             "pairs": {
                 f"{c['pair'][0]}_to_{c['pair'][1]}":
                     [h["eff"] for h in c["history"]]
@@ -780,6 +814,7 @@ def main():
         }
         if store_results is not None:
             line["store_join_efficiency"] = round(store_eff, 3)
+            line["store_join_history"] = [h["eff"] for h in store_history]
             line["store_join_traces_identical"] = store_identical
         if submit_info is not None:
             line["spark_submit_fp_match"] = submit_info["matches_in_process"]
@@ -841,7 +876,7 @@ def main():
 def write_baseline_md(campaigns, ceiling,
                       store_results=None, store_eff=None,
                       store_identical=None, submit_info=None,
-                      store_sf: float = 0.1):
+                      store_sf: float = 0.1, store_history=None):
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     cfg = scaling_graph_cfg()
     n_pages = cfg.n_domains * cfg.pages_per_domain
@@ -916,7 +951,8 @@ def write_baseline_md(campaigns, ceiling,
         f"**Scaling efficiency (T_{pair[0]}/T_{pair[1]})/4 = "
         f"{head['eff']:.3f}** (target ≥ 0.8)",
         "",
-        f"Traces bit-identical across parallelism levels: **{head['identical']}**",
+        "Traces bit-identical across parallelism levels, in EVERY repeat: "
+        f"**{head.get('identical_all', head['identical'])}**",
         "",
         f"Per-wave fetched: {head['best'][pair[1]]['wave_fetched']}",
         "",
@@ -1047,11 +1083,28 @@ def write_baseline_md(campaigns, ceiling,
             "|---|---|---|---|---|---|",
             *leg_rows(store_results, pair),
             "",
-            f"**Store-join scaling efficiency = {store_eff:.3f}**",
+            f"**Store-join scaling efficiency = {store_eff:.3f}** (best of "
+            f"{len(store_history or [1])} repeats — same best-of protocol "
+            "as the primary pair; every run below)",
             "",
-            f"Traces bit-identical across parallelism levels: "
-            f"**{store_identical}**",
+            f"Traces bit-identical across parallelism levels, in EVERY "
+            f"repeat: **{store_identical}**",
             "",
+        ]
+        if store_history:
+            lines += [
+                "| run | urls/s small | urls/s big | efficiency | "
+                "probe small | probe big | traces identical |",
+                "|---|---|---|---|---|---|---|",
+                *[
+                    f"| {i + 1} | {h['urls_small']} | {h['urls_big']} | "
+                    f"{h['eff']} | {h['probe_small_ms']} | "
+                    f"{h['probe_big_ms']} | {h['identical']} |"
+                    for i, h in enumerate(store_history)
+                ],
+                "",
+            ]
+        lines += [
             "Per-wave phase spans (seconds; `budget_select` = politeness "
             "top-k plan, `fetch_validate` = the store join + decode + "
             "validate that SHOULD scale with cores, `state_chain` = seen/"

@@ -113,15 +113,20 @@ def test_hostile_dimensions_invalidate_rows_not_task(spark, tiny_tables):
     must mark the ROWS invalid without killing the task — np.zeros on a
     negative or multi-GB scratch shape would die before any per-row
     decode try could fire."""
-    pdf = _rows(tiny_tables, 4)
+    pdf = _rows(tiny_tables, 5)
     pdf.loc[pdf.index[0], ["w", "h"]] = [-8, 8]
     pdf.loc[pdf.index[1], ["w", "h"]] = [0, 0]
     pdf.loc[pdf.index[2], ["w", "h"]] = [1 << 16, 1 << 16]  # 4 TB scratch
+    # over the byte-cap-derived pixel ceiling but under the old 2^24
+    # standalone one: at chunk floor 1 this would pin ~436 MB of
+    # scratch (26·h·w), 3.4× the stated 128 MB per-entry cap
+    pdf.loc[pdf.index[3], ["w", "h"]] = [4096, 4095]
     out = _validate(spark, pdf).sort_values("url_hash").reset_index(drop=True)
     assert not out.loc[0, "valid"] and not out.loc[0, "decode_ok"]
     assert not out.loc[1, "valid"] and not out.loc[1, "decode_ok"]
     assert not out.loc[2, "valid"] and not out.loc[2, "decode_ok"]
-    assert out.loc[3, "valid"]  # the clean row in the same batch
+    assert not out.loc[3, "valid"] and not out.loc[3, "decode_ok"]
+    assert out.loc[4, "valid"]  # the clean row in the same batch
 
 
 def test_scratch_chunk_shrinks_for_large_images():
@@ -138,6 +143,10 @@ def test_scratch_chunk_shrinks_for_large_images():
     offgrid = FT._bufs(12, 12, False)
     assert "gray3" not in offgrid
     FT._SCRATCH.clear()
+    # the cap must hold at the chunk floor too: the dims gate's pixel
+    # ceiling is derived from the byte cap, so no admissible (h, w) can
+    # allocate an over-cap entry even at chunk 1
+    assert 26 * FT._MAX_PIXELS <= FT._SCRATCH_ENTRY_BYTES
 
 
 def test_fetch_join_status_matches_refsim_on_half_null_rows(spark):

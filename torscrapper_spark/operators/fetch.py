@@ -149,8 +149,13 @@ _SCRATCH_MAX = 4
 _SCRATCH_ENTRY_BYTES = 128 << 20
 # dims are untrusted data (a hostile store row / fetcher response):
 # groups beyond this pixel count are marked invalid instead of
-# allocating multi-GB scratch. 2^24 ≈ 4096², far above any fixture.
-_MAX_PIXELS = 1 << 24
+# allocating multi-GB scratch. Derived from the entry byte cap so the
+# cap holds even at the chunk floor of 1: a standalone pixel ceiling
+# (2^24 was the old value) let a single near-4096² entry allocate
+# 26·h·w ≈ 436 MB — 3.4× the stated cap — and 4 LRU entries pin ~1.7 GB
+# per worker. 128 MB/26 ≈ 5.16 M pixels ≈ 2272², still far above any
+# fixture (256²) and any sane crawl payload.
+_MAX_PIXELS = _SCRATCH_ENTRY_BYTES // 26
 
 
 def _bufs(h: int, w: int, grid_ok: bool) -> dict[str, np.ndarray]:

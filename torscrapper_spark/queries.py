@@ -630,7 +630,7 @@ def _md5_60(col):
 WITH h AS (
   SELECT DISTINCT event_type,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), r AS (
   SELECT event_type, h,
          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -641,7 +641,8 @@ WITH h AS (
 ), samp AS (
   SELECT event_type, value
   FROM events
-  WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)
+  WHERE value IS NOT NULL
+    AND (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)
         % {MED_SAMPLE_MOD} = 0
 ), sr AS (
   SELECT event_type, value,
@@ -656,8 +657,10 @@ SELECT kmv.event_type, n_mins, kth_min_hash,
        CASE WHEN n_mins < {KMV_K} THEN CAST(n_mins AS DOUBLE)
             ELSE ({float(KMV_K - 1)} * {KMV_SPACE})
                  / CAST(kth_min_hash AS DOUBLE) END AS est_users,
-       med.n_sampled, med.approx_median_value
-FROM kmv JOIN med USING (event_type)
+       CAST(COALESCE(med.n_sampled, 0) AS BIGINT) AS n_sampled,
+       COALESCE(med.approx_median_value, CAST('NaN' AS DOUBLE))
+           AS approx_median_value
+FROM kmv LEFT JOIN med USING (event_type)
 """)
 def q19b(spark, sf):
     """Approx-distinct + approx-median sketches with EXACT cross-engine
@@ -670,21 +673,38 @@ def q19b(spark, sf):
       D ≈ (K-1) / U(K) where U(K) = kth_min_hash / 2^60. Every input to
       the double arithmetic is an exact integer (≤ 2^60) or a power of
       two, so Spark and DuckDB produce the identical IEEE-754 result.
-      At 100 TB the distinct+window shuffles hash-partition on the
-      group key once (Catalyst reuses the exchange) and each group
-      retains only K rows.
+      Plan shape at scale (verified via explain on the sf tiers): the
+      distinct exchanges partially-deduped (group, hash) pairs on
+      (event_type, h); the top-K window then re-exchanges on
+      event_type with a map-side WindowGroupLimit BEFORE the shuffle,
+      so the second exchange carries at most K rows per group per map
+      partition — two exchanges, deduped 16-byte rows and then
+      K-capped rows, never raw events (repartitioning raw events by
+      group first would collapse it to one exchange but ships every
+      raw row through a skew-prone shuffle).
     - Median: exact lower median (rank ⌈s/2⌉) of a deterministic 1/4
       hash-sample keyed on ``event_id`` — a sample-quantile sketch both
       engines draw identically, no interpolation ambiguity.
+    - NULL handling, pinned identically on both engines: NULL user_id /
+      NULL value rows are excluded from the sketches EXPLICITLY (Spark
+      windows sort NULLs first, DuckDB last — an unfiltered NULL would
+      silently occupy a KMV slot on one engine only); a group whose
+      rows all miss the 1/4 sample stays visible via the LEFT join
+      with (n_sampled=0, approx_median_value=NaN) — NaN compares
+      bit-equal cross-engine, and 0 keeps the count column int64.
 
-    xxhash64/hash/crc32 coverage that previously rode this rows-only
-    slot lives in the crawl trace fingerprints (pinned bit-exact in
-    tests/test_crawl_equivalence.py) and q25's hash family.
+    xxhash64 coverage that previously rode this rows-only slot lives in
+    the crawl trace fingerprints (pinned bit-exact in
+    tests/test_crawl_equivalence.py); the Spark-only hash family
+    (xxhash64/hash/crc32) is pinned to frozen golden values in
+    tests/test_functions.py::test_spark_hash_family_pinned.
     """
     e = t(spark, sf, "events")
-    d = e.select(
-        "event_type", _md5_60(F.col("user_id")).alias("h")
-    ).distinct()
+    d = (
+        e.filter(F.col("user_id").isNotNull())
+        .select("event_type", _md5_60(F.col("user_id")).alias("h"))
+        .distinct()
+    )
     rn = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
     kmv = (
         d.withColumn("rn", rn)
@@ -701,7 +721,8 @@ def q19b(spark, sf):
     kmv = kmv.select("event_type", "n_mins", "kth_min_hash",
                      est.alias("est_users"))
     samp = e.filter(
-        _md5_60(F.col("event_id")) % MED_SAMPLE_MOD == 0
+        F.col("value").isNotNull()
+        & (_md5_60(F.col("event_id")) % MED_SAMPLE_MOD == 0)
     ).select("event_type", "value")
     med = (
         samp.withColumn(
@@ -720,7 +741,13 @@ def q19b(spark, sf):
             F.col("value").alias("approx_median_value"),
         )
     )
-    return kmv.join(med, "event_type")
+    return kmv.join(med, "event_type", "left").select(
+        "event_type", "n_mins", "kth_min_hash", "est_users",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("long"))
+        .alias("n_sampled"),
+        F.coalesce(F.col("approx_median_value"), F.lit(float("nan")))
+        .alias("approx_median_value"),
+    )
 
 
 # ---------------------------------------------------------------------------
