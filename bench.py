@@ -712,18 +712,39 @@ def main():
                 persist(state)
             return state
 
-        campaigns = []
-        for pi, n_small in enumerate(SCALE_NS):
-            repeat = rep_spec[min(pi, len(rep_spec) - 1)]
-            ns = (n_small, n_small * 4)
+        # TS_RESUME_CAMPAIGN=<path to a scaling_partial.json>: reuse a
+        # completed fire's primary-pair evidence verbatim and re-run
+        # only the downstream legs (ceiling probe, store pair, submit).
+        # Exists so a protocol upgrade to a SECONDARY leg (e.g. the
+        # store pair gaining repeats) can refresh that leg's evidence
+        # without re-burning a healthy-tenancy window on — or risking a
+        # contended rerun of — the already-published criterion-bearing
+        # pairs.
+        resume_from = os.environ.get("TS_RESUME_CAMPAIGN")
+        if resume_from:
+            with open(resume_from) as f:
+                campaigns = json.load(f)
+            for c in campaigns:  # undo the JSON round-trip's coercions
+                c["pair"] = tuple(c["pair"])
+                c["best"] = {int(k): v for k, v in c["best"].items()}
+                c.setdefault(
+                    "identical_all",
+                    all(h["identical"] for h in c["history"]),
+                )
+        else:
+            campaigns = []
+            for pi, n_small in enumerate(SCALE_NS):
+                repeat = rep_spec[min(pi, len(rep_spec) - 1)]
+                ns = (n_small, n_small * 4)
 
-            def persist_campaign(state):
-                with open(os.path.join(REPO, "BENCH",
-                                       "scaling_partial.json"), "w") as pf:
-                    json.dump(campaigns + [state], pf, indent=1)
+                def persist_campaign(state):
+                    with open(os.path.join(REPO, "BENCH",
+                                           "scaling_partial.json"),
+                              "w") as pf:
+                        json.dump(campaigns + [state], pf, indent=1)
 
-            campaigns.append(repeat_pair(ns, "scaling", repeat,
-                                         persist_campaign))
+                campaigns.append(repeat_pair(ns, "scaling", repeat,
+                                             persist_campaign))
 
         head = campaigns[0]
         ceiling = ceiling_probe(
