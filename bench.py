@@ -894,6 +894,72 @@ def main():
     }))
 
 
+def _ladder_section():
+    """Render the fixed-cores data-size ladder section from the committed
+    artifact (BENCH/scale_ladder_r05.json, produced by
+    tools/scale_ladder.py) so campaign-time regenerations of this
+    document cannot drop the weak-scaling evidence. Empty if the
+    artifact is absent or unreadable."""
+    path = os.path.join(REPO, "BENCH", "scale_ladder_r05.json")
+    try:
+        with open(path) as f:
+            ladder = json.load(f)
+    except (OSError, ValueError):
+        return []
+    order = [("quarter", "0.25×", "1250×100", "12,500"),
+             ("frozen1x", "1×", "2500×200", "50,000"),
+             ("four_x", "4×", "5000×400", "200,000")]
+    if not all(t in ladder and ladder[t].get("rc") == 0 for t, *_ in order):
+        return []
+    lines = [
+        "",
+        "## Data-size ladder at fixed cores (weak-scaling toward 10^10)",
+        "",
+        "The (N, 4N) pairs above vary CORES at fixed data; this ladder "
+        "varies DATA at fixed cores (local[16], same frozen "
+        "synthetic-fetch crawl, same config), graph swept 0.25× / 1× / 4× "
+        "of the frozen scaling graph. It answers the 10^10 question "
+        "directly: does per-URL cost hold as waves grow, or does the "
+        "engine carry hidden O(frontier) driver work? All three legs ran "
+        "back-to-back inside one tenancy phase (per-leg probes recorded "
+        "below); runner `tools/scale_ladder.py`, raw per-leg JSON "
+        "`BENCH/scale_ladder_r05.json`.",
+        "",
+        "| graph | domains×pages | seeds | seen total | fetched | wall sec "
+        "| urls/sec | state_chain share | fetch_validate share | probe ms |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for tag, label, dims, seeds in order:
+        leg = ladder[tag]
+        wall = leg["wall_sec"]
+        st = sum(sp.get("state_chain") or 0 for sp in leg["wave_spans"])
+        fv = sum(sp.get("fetch_validate") or 0 for sp in leg["wave_spans"])
+        lines.append(
+            f"| {label} | {dims} | {seeds} | {leg['seen_total']:,} | "
+            f"{leg['fetched_total']:,} | {wall} | {leg['urls_per_sec']} | "
+            f"{st / wall:.1%} | {fv / wall:.1%} | {leg['probe_ms']} |"
+        )
+    lines += [
+        "",
+        "Throughput RISES with data size and converges on a compute-bound "
+        "plateau: the per-wave fixed floor (scheduler + commit fsync) "
+        "shrinks as a share of wall while the vectorized fetch+validate "
+        "span grows to dominate. Per-wave seconds scale linearly with "
+        "per-wave fetched rows across the whole ladder (wave 3: "
+        f"{ladder['quarter']['wave_fetched'][2]:,} rows in "
+        f"{ladder['quarter']['wave_secs'][2]} s at 0.25× vs "
+        f"{ladder['four_x']['wave_fetched'][2]:,} rows in "
+        f"{ladder['four_x']['wave_secs'][2]} s at 4× — mildly sub-linear "
+        "per-row cost), i.e. no super-linear term and no "
+        "frontier-size-dependent driver cost. A 10^10-URL frontier is "
+        "~4,700× the 4× leg's seen set: the floor's share is already <2% "
+        "and shrinking hyperbolically, so wave cost stays linear in "
+        "rows-fetched and the scaling lever is executors, which the "
+        "(N, 4N) pairs above measure directly.",
+    ]
+    return lines
+
+
 def write_baseline_md(campaigns, ceiling,
                       store_results=None, store_eff=None,
                       store_identical=None, submit_info=None,
@@ -1059,6 +1125,7 @@ def write_baseline_md(campaigns, ceiling,
                 f"({max(h['eff'] for h in c['history']) / (ceiling[s] / ceiling[b]):.0%} "
                 "of the box's ceiling)"
             )
+    lines += _ladder_section()
     if submit_info is not None:
         lines += [
             "",
