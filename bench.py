@@ -212,9 +212,28 @@ def scaling_graph_cfg():
     )
 
 
+def _frontier_mode_overrides() -> dict:
+    """Env override for the frontier representation (A/B evidence).
+
+    TS_FRONTIER_MODE=delta switches every bench crawl to the O(wave)
+    delta-checkpoint frontier (CrawlConfig.frontier_mode), with
+    TS_COMPACT_EVERY (default 2 — the chain must be compacted in delta
+    mode) controlling the fold cadence. Default is unset → full mode,
+    so the frozen scaling protocol and all published evidence are
+    untouched unless a leg explicitly opts in."""
+    fm = os.environ.get("TS_FRONTIER_MODE", "full")
+    if fm != "delta":
+        return {}
+    return {
+        "frontier_mode": "delta",
+        "compact_every": _env_int("TS_COMPACT_EVERY", 2),
+    }
+
+
 def crawl_cfg_for(mode: str, pagestore_buckets: int):
     from torscrapper_spark.plans.crawl import CrawlConfig
 
+    fm = _frontier_mode_overrides()
     if mode == "scaling":
         # salt_buckets=8: the scaling graph has 25 hot domains holding
         # 30% of in-links, so the headline run exercises the two-phase
@@ -228,6 +247,7 @@ def crawl_cfg_for(mode: str, pagestore_buckets: int):
             bloom_shards=64, bloom_bits=1 << 19, bloom_k=5,
             salt_buckets=_env_int("TS_SCALE_SALT", 8),
             pagestore_buckets=pagestore_buckets,
+            **fm,
         )
     if mode == "store":
         # store-join scaling evidence. Budget 128 (was 32 in r2): at
@@ -254,6 +274,7 @@ def crawl_cfg_for(mode: str, pagestore_buckets: int):
             use_bloom=True,
             bloom_shards=16, bloom_bits=1 << 21, bloom_k=5,
             salt_buckets=0, pagestore_buckets=pagestore_buckets,
+            **fm,
         )
     return CrawlConfig(
         max_waves=_env_int("TS_BENCH_WAVES", 4),
@@ -261,6 +282,7 @@ def crawl_cfg_for(mode: str, pagestore_buckets: int):
         use_bloom=True,
         bloom_shards=16, bloom_bits=1 << 21, bloom_k=5,
         salt_buckets=0, pagestore_buckets=pagestore_buckets,
+        **fm,
     )
 
 
@@ -566,6 +588,28 @@ def main():
         )
         r["probe_ms"] = [probe_before, tenancy_probe()]
         r["trace_fp"] = trace_fingerprint(spark, r["snap_dir"])
+        # per-version frontier dir sizes (bytes/files), taken before the
+        # store is deleted: the full-vs-delta frontier A/B's direct
+        # write-volume evidence (full mode: every version is a complete
+        # frontier rewrite; delta mode: O(wave) delta dirs + compacted
+        # base=* dirs). Cheap os.walk, no Spark.
+        fdir = os.path.join(r["snap_dir"], "frontier")
+        io = {}
+        if os.path.isdir(fdir):
+            for d in sorted(os.listdir(fdir)):
+                p = os.path.join(fdir, d)
+                if not os.path.isdir(p):
+                    continue
+                files = [
+                    os.path.join(dp, fn)
+                    for dp, _, fns in os.walk(p) for fn in fns
+                ]
+                io[d] = {
+                    "files": len(files),
+                    "bytes": sum(os.path.getsize(f) for f in files),
+                }
+        r["frontier_io"] = io
+        r["frontier_mode"] = os.environ.get("TS_FRONTIER_MODE", "full")
         # the multi-GB crawl-state store is evidence-free once the
         # fingerprint is taken; leaking one per leg (9+ per campaign)
         # filled /tmp over a round and killed later legs on ENOSPC
@@ -960,6 +1004,95 @@ def _ladder_section():
     return lines
 
 
+def _frontier_ab_section():
+    """Render the frontier-representation A/B section from the committed
+    artifact (BENCH/frontier_ab_r05.json, produced by
+    tools/frontier_ab.py): full vs delta checkpoints, same crawl, same
+    master, back-to-back per graph size. Empty if the artifact is
+    absent, unreadable, or any leg failed."""
+    path = os.path.join(REPO, "BENCH", "frontier_ab_r05.json")
+    try:
+        with open(path) as f:
+            ab = json.load(f)
+    except (OSError, ValueError):
+        return []
+    graphs = [("frozen1x", "1×", "2500×200, 50,000 seeds"),
+              ("four_x", "4×", "5000×400, 200,000 seeds"),
+              ("budget16", "1× budget-bound", "budget 16, 6 waves")]
+    legs = [(g, m) for g, *_ in graphs for m in ("full", "delta")]
+    if not all(
+        ab.get(f"{g}_{m}", {}).get("rc") == 0 for g, m in legs
+    ) or not all(ab.get(f"{g}_traces_identical") for g, *_ in graphs):
+        return []
+    lines = [
+        "",
+        "## Frontier representation A/B: full vs delta checkpoints",
+        "",
+        "Full mode rewrites the complete next frontier every wave — at a "
+        "10^10-URL frontier that is a ~TB-scale state write per wave while "
+        "the wave's real work stays budget-bounded. "
+        "`CrawlConfig.frontier_mode=\"delta\"` checkpoints only the wave's "
+        "changes (selected rows as tombstones + robots-gated inserts, "
+        "O(wave) rows) with periodic compaction folding the chain back "
+        "into a base (here compact_every=3). Same crawl, same master "
+        "(local[16]); the two modes ran BACK-TO-BACK per configuration "
+        "so each comparison shares one tenancy phase. The 1×/4× rows run "
+        "the standard non-binding budget (wave ≈ frontier, so the two "
+        "representations write comparable volume — a parity check); the "
+        "budget-bound row is the regime a 10^10 crawl actually runs in "
+        "(frontier ≫ per-wave budget — frontier accumulates across 6 "
+        "waves while each wave's fetch stays budget-capped), which is "
+        "where the representations separate. Runner "
+        "`tools/frontier_ab.py`, raw legs `BENCH/frontier_ab_r05.json`. "
+        "Traces are bit-identical between modes in EVERY configuration "
+        "(also pytest-pinned with resume, revocation, and mid-crawl "
+        "compaction: tests/test_frontier_delta.py).",
+        "",
+        "| graph | mode | wall sec | urls/sec | per-wave sec | "
+        "frontier dirs (bytes) | probe ms |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for g, label, _dims in graphs:
+        for m in ("full", "delta"):
+            leg = ab[f"{g}_{m}"]
+            io = ", ".join(
+                f"{d}:{v['bytes']:,}" for d, v in leg["frontier_io"].items()
+            )
+            lines.append(
+                f"| {label} | {m} | {leg['wall_sec']} | "
+                f"{leg['urls_per_sec']} | {leg['wave_secs']} | {io} | "
+                f"{leg['probe_ms']} |"
+            )
+    full_io = ab["budget16_full"]["frontier_io"]
+    delta_io = ab["budget16_delta"]["frontier_io"]
+    full_last = max(
+        (int(d.split("=")[1]), v["bytes"]) for d, v in full_io.items()
+    )[1]
+    delta_waves = [v["bytes"] for d, v in delta_io.items()
+                   if d.startswith("wave=")]
+    ratios = ", ".join(
+        f"{label} {ab[f'{g}_delta']['urls_per_sec'] / ab[f'{g}_full']['urls_per_sec']:.2f}×"
+        for g, label, _ in graphs
+    )
+    lines += [
+        "",
+        "In the budget-bound regime the full-mode frontier write grows "
+        f"to {full_last:,} bytes by the final wave (a complete rewrite "
+        "of the accumulated frontier, every wave, forever), while delta "
+        f"wave dirs stay ≤ {max(delta_waves):,} bytes — sized by the "
+        "wave's changes, not the frontier (base=* dirs are the periodic "
+        "compaction folds, amortized over compact_every waves; at 10^10 "
+        "the frontier/wave ratio is ~10^3, not the ~single digits this "
+        "bench can reach, so the separation only widens). Throughput "
+        f"ratio delta/full: {ratios} (per-leg tenancy probes above "
+        "attribute residual spread to the shared box). The delta "
+        "representation removes the one remaining per-wave state cost "
+        "proportional to frontier size — the merge-on-read / "
+        "copy-on-write split Iceberg itself makes.",
+    ]
+    return lines
+
+
 def write_baseline_md(campaigns, ceiling,
                       store_results=None, store_eff=None,
                       store_identical=None, submit_info=None,
@@ -1126,6 +1259,7 @@ def write_baseline_md(campaigns, ceiling,
                 "of the box's ceiling)"
             )
     lines += _ladder_section()
+    lines += _frontier_ab_section()
     if submit_info is not None:
         lines += [
             "",
