@@ -1111,6 +1111,52 @@ def _frontier_ab_section():
     return lines
 
 
+def _store_refresh_section():
+    """Render the store-leg refresh record from the committed outcome
+    artifact (BENCH/store_refresh_r05_outcome.json + the raw campaign
+    output scaling_r05_store_refresh.json). The refresh re-ran ONLY the
+    secondary store pair under the declared adopt-if-better rule; the
+    attempt is published either way so the evidence trail has no silent
+    discards. Empty if the artifact is absent."""
+    path = os.path.join(REPO, "BENCH", "store_refresh_r05_outcome.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return []
+    runs = rec.get("refresh_runs", [])
+    lines = [
+        "",
+        "### Store-leg refresh attempt (published, not adopted)",
+        "",
+        "After the store pair gained the repeat/best-of protocol, a "
+        "detached waiter watched for a healthy tenancy window to refresh "
+        "its evidence on current code (campaign-resume mode: primary "
+        "pairs reused verbatim, only the ceiling probe + store pair + "
+        "submit leg re-ran). No sub-64 ms window appeared within its 3 h "
+        f"deadline, so it force-fired under contention (probe "
+        f"{rec['probe_ms_at_fire']} ms). Adoption rule, declared before "
+        "the fire: keep the refreshed numbers only if they beat the "
+        f"published {rec['published_store_eff']} — the refresh measured "
+        f"{max((r['eff'] for r in runs), default=0):.3f} best of "
+        f"{len(runs)}, so the published run stands and the attempt is "
+        "recorded here (raw campaign output: "
+        "`BENCH/scaling_r05_store_refresh.json` / `.log`). Traces were "
+        "bit-identical across parallelism in every refresh run.",
+        "",
+        "| run | urls/s small | urls/s big | efficiency | probe small | "
+        "probe big | traces identical |",
+        "|---|---|---|---|---|---|---|",
+        *[
+            f"| {i + 1} | {r['urls_small']} | {r['urls_big']} | "
+            f"{r['eff']} | {r['probe_small_ms']} | {r['probe_big_ms']} | "
+            f"{r['identical']} |"
+            for i, r in enumerate(runs)
+        ],
+    ]
+    return lines
+
+
 def _baseline_inputs_path():
     return os.path.join(REPO, "BENCH", "baseline_inputs.json")
 
@@ -1433,6 +1479,7 @@ def write_baseline_md(campaigns, ceiling,
                     f"| local[{n}] | {w} | {sp.get('budget_select')} | "
                     f"{sp.get('fetch_validate')} | {sp.get('state_chain')} |"
                 )
+        lines += _store_refresh_section()
     lines += [
         "",
         f"Per-wave commits (local[{pair[1]}], primary):",

@@ -1,0 +1,84 @@
+"""`bench.py --render-baseline` round-trip: BENCH/BASELINE.md is pure
+formatting over the persisted campaign inputs (BENCH/baseline_inputs.json
+plus the ladder / frontier-A/B artifacts). No Spark, no measurement — so
+the render must be deterministic, and the committed BASELINE.md must be
+exactly what a fresh render of the committed inputs produces. If either
+test fails after an intentional renderer change, re-run
+`python bench.py --render-baseline` and commit the result."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+import bench
+
+ARTIFACTS = (
+    "baseline_inputs.json",
+    "scale_ladder_r05.json",
+    "frontier_ab_r05.json",
+    "store_refresh_r05_outcome.json",
+)
+
+
+def _tmp_repo(tmp_path):
+    """Copy just the renderer's input artifacts into a scratch REPO so the
+    render never touches the committed BENCH/BASELINE.md."""
+    bench_dir = tmp_path / "BENCH"
+    bench_dir.mkdir()
+    for name in ARTIFACTS:
+        src = os.path.join(bench.REPO, "BENCH", name)
+        if os.path.exists(src):
+            shutil.copy(src, bench_dir / name)
+    return tmp_path
+
+
+def _render(repo, monkeypatch, capsys):
+    monkeypatch.setattr(bench, "REPO", str(repo))
+    bench.render_baseline_from_artifacts()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rendered"] == "BENCH/BASELINE.md"
+    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "rb") as f:
+        return f.read()
+
+
+@pytest.fixture()
+def inputs():
+    path = os.path.join(bench.REPO, "BENCH", "baseline_inputs.json")
+    if not os.path.exists(path):
+        pytest.skip("no persisted campaign inputs yet")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_render_is_deterministic(tmp_path, monkeypatch, capsys, inputs):
+    repo = _tmp_repo(tmp_path)
+    first = _render(repo, monkeypatch, capsys)
+    second = _render(repo, monkeypatch, capsys)
+    assert first == second
+    text = first.decode()
+    # Section invariants derived from the inputs file, not the renderer:
+    # every campaign's efficiency figure and pair legs must appear.
+    for c in inputs["campaigns"]:
+        pair = tuple(c["pair"])
+        assert f"| local[{pair[0]}] |" in text
+        assert f"| local[{pair[1]}] |" in text
+        assert f"{c['eff']:.3f}" in text
+    if inputs.get("store_eff") is not None:
+        assert f"{inputs['store_eff']:.3f}" in text
+
+
+def test_committed_baseline_matches_fresh_render(tmp_path, monkeypatch,
+                                                 capsys, inputs):
+    committed = os.path.join(bench.REPO, "BENCH", "BASELINE.md")
+    if not os.path.exists(committed):
+        pytest.skip("no committed BASELINE.md")
+    with open(committed, "rb") as f:
+        want = f.read()
+    repo = _tmp_repo(tmp_path)
+    got = _render(repo, monkeypatch, capsys)
+    assert got == want, (
+        "BENCH/BASELINE.md has drifted from the persisted inputs — "
+        "re-run `python bench.py --render-baseline` and commit"
+    )
