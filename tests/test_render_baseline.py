@@ -69,6 +69,45 @@ def test_render_is_deterministic(tmp_path, monkeypatch, capsys, inputs):
         assert f"{inputs['store_eff']:.3f}" in text
 
 
+def test_adopted_refresh_record_renders_both_attempts():
+    run = {"eff": 0.5, "urls_small": 100.0, "urls_big": 200.0,
+           "probe_small_ms": [40.0, 41.0], "probe_big_ms": [42.0, 43.0],
+           "identical": True}
+    rejected = {"adopted": False, "probe_ms_at_fire": [67.1, 65.1],
+                "published_store_eff": 0.426,
+                "refresh_runs": [dict(run, eff=0.3)]}
+    adopted = {"adopted": True, "refresh_runs": [run],
+               "previous_rejected_attempt": rejected}
+    import json as _json
+    import bench as _b
+
+    def section(rec, tmpdir):
+        path = os.path.join(tmpdir, "BENCH")
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "store_refresh_r05_outcome.json"),
+                  "w") as f:
+            _json.dump(rec, f)
+        old = _b.REPO
+        _b.REPO = tmpdir
+        try:
+            return "\n".join(_b._store_refresh_section())
+        finally:
+            _b.REPO = old
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        text = section(adopted, td)
+    assert "adopted — shown above" in text
+    assert "earlier attempt, not adopted" in text
+    assert "BEATING" in text
+    assert "force-fired under contention" in text
+    assert "| 0.5 |" in text and "| 0.3 |" in text
+    with tempfile.TemporaryDirectory() as td:
+        text = section(rejected, td)
+    assert "published, not adopted" in text
+    assert "BEATING" not in text
+
+
 def test_committed_baseline_matches_fresh_render(tmp_path, monkeypatch,
                                                  capsys, inputs):
     committed = os.path.join(bench.REPO, "BENCH", "BASELINE.md")
