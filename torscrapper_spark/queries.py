@@ -1781,27 +1781,99 @@ def q47(spark, sf):
     return sliding_counts(spark, sf)
 
 
+# q48: SRP-LSH bucketing constants. Signs are a fixed deterministic
+# ±1 matrix (K hyperplanes × D dims) generated by integer arithmetic
+# that both engines reproduce exactly: Python evaluates it once and
+# embeds the values as Spark literals, while the oracle SQL re-derives
+# the SAME values from the formula inline — no engine hash parity to
+# hope for. Bucket bits use fixed-point int64 dot products
+# (floor(x·10^6), exact and summation-order-independent), so bucket
+# assignment is bit-identical on both sides by construction.
+Q48_SRP_K, Q48_EMB_DIM = 8, 64
+
+
+def _srp_sign(k: int, j: int) -> int:
+    return 1 if ((k * 2654435761 + j * 40503) % 97) < 48 else -1
+
+
 @q("q48_dedup_embedding_cosine", """
-SELECT id_a, id_b, cos FROM (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS cos
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+WITH ej AS (
+  SELECT vec_id, r.j,
+         CAST(floor(CAST(embedding[CAST(r.j AS INT) + 1] AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS ei
+  FROM embeddings, range(64) AS r(j)
+),
+sg AS (
+  SELECT r1.k, r2.j,
+         CASE WHEN ((r1.k * 2654435761 + r2.j * 40503) % 97) < 48
+              THEN 1 ELSE -1 END AS s
+  FROM range(8) AS r1(k), range(64) AS r2(j)
+),
+bits AS (
+  SELECT ej.vec_id, sg.k,
+         CASE WHEN CAST(SUM(ej.ei * sg.s) AS BIGINT) >= 0
+              THEN (CAST(1 AS BIGINT) << sg.k) ELSE CAST(0 AS BIGINT)
+         END AS bitval
+  FROM ej JOIN sg USING (j)
+  GROUP BY ej.vec_id, sg.k
+),
+bk AS (
+  SELECT vec_id, CAST(SUM(bitval) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+),
+v AS (
+  SELECT e.vec_id, bk.bucket, e.embedding
+  FROM embeddings e JOIN bk USING (vec_id)
+)
+SELECT id_a, id_b, bucket, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+         round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS cos
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ) WHERE cos >= 0.3
 """)
 def q48(spark, sf):
-    """Embedding-cosine near-dup detection: candidate pairs are blocked
-    by the coarse bucket (``label`` here; an LSH/IVF bucket at scale —
-    never all-pairs), exact cosine on candidates, threshold filter.
-    Unit-norm embeddings ⇒ cosine == dot (JVM-side zip_with/aggregate)."""
+    """Embedding-cosine near-dup via signed-random-projection LSH:
+    each vector gets a K-bit bucket (bit k = sign of its dot product
+    with fixed ±1 hyperplane k), candidate pairs are generated ONLY
+    within a bucket (an equi-join on ``bucket`` — never all-pairs),
+    then the exact cosine is computed on candidates and thresholded.
+    Unit-norm embeddings ⇒ cosine == dot (JVM zip_with/aggregate).
+
+    100-TB posture: bucket assignment is a narrow per-row projection
+    (K·D multiply-adds in whole-stage codegen, no shuffle); the only
+    shuffle is the equi-join on ``bucket``, whose groups are ~n/2^K —
+    at scale K grows with log(n) to hold group sizes flat, exactly the
+    SRP-LSH recipe (complements q31's MinHash-LSH for text and q35's
+    IVF for top-k retrieval). Bucket bits use fixed-point int64 math
+    (floor(x·10^6)) so they are exact, summation-order-independent,
+    and reproduced bit-identically by the DuckDB oracle from the same
+    integer sign formula."""
     em = t(spark, sf, "embeddings")
-    a = em.select(
-        F.col("vec_id").alias("id_a"), F.col("label"),
+    ei = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)),
+    )
+    v = em.select("vec_id", "embedding", ei.alias("ei"))
+    bucket = F.lit(0).cast("long")
+    for k in range(Q48_SRP_K):
+        signs = F.array(*[
+            F.lit(_srp_sign(k, j)).cast("long") for j in range(Q48_EMB_DIM)
+        ])
+        dot_k = F.aggregate(
+            F.zip_with(F.col("ei"), signs, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(
+            dot_k >= 0, F.lit(1 << k).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    v = v.withColumn("bucket", bucket)
+    a = v.select(
+        F.col("vec_id").alias("id_a"), "bucket",
         F.col("embedding").alias("ea"),
     )
-    b = em.select(
-        F.col("vec_id").alias("id_b"), F.col("label"),
+    b = v.select(
+        F.col("vec_id").alias("id_b"), "bucket",
         F.col("embedding").alias("eb"),
     )
     dot = F.aggregate(
@@ -1809,9 +1881,9 @@ def q48(spark, sf):
         F.lit(0.0), lambda acc, x: acc + x,
     )
     return (
-        a.join(b, "label")
+        a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot, 6).alias("cos"))
+        .select("id_a", "id_b", "bucket", F.round(dot, 6).alias("cos"))
         .filter(F.col("cos") >= 0.3)
     )
 
