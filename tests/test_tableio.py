@@ -144,3 +144,68 @@ def test_compact_refuses_mixed_layout_store(spark):
     assert {r.url_hash for r in st.read_upto(spark, "seen", 1).collect()} \
         == {1, 2, 3, 7, 8}
     assert st.base_wave("seen") is None
+
+
+def test_empty_partitioned_delta_keeps_bucket_layout(spark):
+    """A wave that discovers zero NEW urls still writes its (empty)
+    partitioned seen delta — partitionBy on a zero-row frame leaves a
+    version dir with no pid= subdirs and no data files. That version
+    must contribute NO layout evidence: treating it as "flat" used to
+    trip the mixed-layout fallback, permanently dropping pid from
+    reads (pruning lost) and making compact() raise on a perfectly
+    healthy store (code-review r5)."""
+    st = _store(spark, [_pdf([1, 2, 3], 0, with_pid=4)], partition_by="pid")
+    st.write(
+        spark.createDataFrame(
+            _pdf([], 1, with_pid=4),
+            schema="url_hash long, wave_added int, pid int",
+        ), "seen", 1,
+        partition_by="pid",
+    )
+    st.commit(1, {"n": 0})
+    st.write(
+        spark.createDataFrame(_pdf([7, 8], 2, with_pid=4)), "seen", 2,
+        partition_by="pid",
+    )
+    st.commit(2, {"n": 2})
+    df = st.read_upto(spark, "seen", 2)
+    assert "pid" in df.columns  # bucket layout (and pruning) survives
+    assert {r.url_hash for r in df.collect()} == {1, 2, 3, 7, 8}
+    # compact over the chain containing the empty version still works
+    st.compact(spark, "seen", 2)
+    assert {r.url_hash for r in st.read_upto(spark, "seen", 2).collect()} \
+        == {1, 2, 3, 7, 8}
+
+
+def test_all_empty_versions_read_with_declared_schema(spark):
+    """Zero data anywhere: read_upto must still return the declared
+    schema (pid included) rather than fall into the column-dropping
+    fallback on an empty layout set."""
+    st = SnapshotStore(tempfile.mkdtemp(prefix="tsio_"))
+    st.write(
+        spark.createDataFrame(
+            _pdf([], 0, with_pid=4),
+            schema="url_hash long, wave_added int, pid int",
+        ), "seen", 0, partition_by="pid",
+    )
+    st.commit(0, {"n": 0})
+    df = st.read_upto(spark, "seen", 0)
+    assert sorted(df.columns) == ["pid", "url_hash", "wave_added"]
+    assert df.count() == 0
+
+
+def test_partition_spec_drift_raises(spark):
+    """A write whose partition_by disagrees with the sidecar's pinned
+    spec would create mixed layouts (silent pruning loss + compact
+    refusal waves later); it must fail loudly at the causing write."""
+    st = _store(spark, [_pdf([1], 0, with_pid=4)], partition_by="pid")
+    with pytest.raises(ValueError, match="partition-spec drift"):
+        st.write(spark.createDataFrame(_pdf([2], 1, with_pid=4)), "seen", 1)
+    # the correct spec still writes fine
+    st.write(
+        spark.createDataFrame(_pdf([2], 1, with_pid=4)), "seen", 1,
+        partition_by="pid",
+    )
+    st.commit(1, {"n": 1})
+    assert {r.url_hash for r in st.read_upto(spark, "seen", 1).collect()} \
+        == {1, 2}

@@ -219,14 +219,19 @@ def update_cuckoo(filt: DataFrame, delta: DataFrame, num_shards: int
             ).astype({"pid": "int32", "nbuckets": "int32",
                       "degraded": "bool"})
         row = state.iloc[0]
+        if len(hashes_it) == 0 or bool(row.degraded):
+            # untouched shard (no keys for this pid, or degraded —
+            # contents never trusted): pass the state row through
+            # without the O(table) frombuffer-copy + tobytes round
+            # trip (code-review r5: two full memcpys per skipped
+            # shard per wave)
+            return state[["pid", "table", "nbuckets", "degraded"]]
         nbuckets = int(row.nbuckets)
         tab = np.frombuffer(row.table, dtype=np.uint16).reshape(
             nbuckets, _SLOTS
         ).copy()
-        degraded = bool(row.degraded)
-        if len(hashes_it) and not degraded:
-            h = hashes_it["url_hash"].to_numpy().astype(np.int64)
-            degraded = not _insert(tab, nbuckets, h.view(np.uint64))
+        h = hashes_it["url_hash"].to_numpy().astype(np.int64)
+        degraded = not _insert(tab, nbuckets, h.view(np.uint64))
         return pd.DataFrame({
             "pid": [int(row.pid)], "table": [tab.tobytes()],
             "nbuckets": [nbuckets], "degraded": [degraded],
@@ -254,20 +259,23 @@ def delete_cuckoo(filt: DataFrame, keys: DataFrame, num_shards: int
             ).astype({"pid": "int32", "nbuckets": "int32",
                       "degraded": "bool"})
         row = state.iloc[0]
+        # skip degraded shards, mirroring update_cuckoo: their contents
+        # are never trusted (probe answers all-true, rebuilds discard
+        # them), and post-degradation keys were never inserted — a
+        # delete could only remove a colliding live key's copy. Skipped
+        # (and keyless) shards pass through without the O(table) copy
+        # round trip (code-review r5).
+        if len(hashes_it) == 0 or bool(row.degraded):
+            return state[["pid", "table", "nbuckets", "degraded"]]
         nbuckets = int(row.nbuckets)
         tab = np.frombuffer(row.table, dtype=np.uint16).reshape(
             nbuckets, _SLOTS
         ).copy()
-        # skip degraded shards, mirroring update_cuckoo: their contents
-        # are never trusted (probe answers all-true, rebuilds discard
-        # them), and post-degradation keys were never inserted — a
-        # delete could only remove a colliding live key's copy
-        if len(hashes_it) and not bool(row.degraded):
-            _delete(
-                tab, nbuckets,
-                hashes_it["url_hash"].to_numpy().astype(np.int64)
-                .view(np.uint64),
-            )
+        _delete(
+            tab, nbuckets,
+            hashes_it["url_hash"].to_numpy().astype(np.int64)
+            .view(np.uint64),
+        )
         return pd.DataFrame({
             "pid": [int(row.pid)], "table": [tab.tobytes()],
             "nbuckets": [nbuckets], "degraded": [bool(row.degraded)],

@@ -81,8 +81,23 @@ class SnapshotStore:
         partitioned version readable (``partitionBy`` on an empty frame
         writes zero data files, so inference would fail)."""
         sidecar = os.path.join(self.root, table, "_schema.json")
-        existing = self._schema(table)
+        existing, declared_part = self._table_meta(table)
         if existing is not None:
+            # The partition spec is pinned at table creation exactly like
+            # the schema; a later write that silently changes it would
+            # produce mixed flat/bucketed version dirs whose read-side
+            # fallback drops the bucket column (pruning lost) and whose
+            # compact() refuses the store — fail at the WRITE that
+            # causes it, not wave(s) later at the read (same LOUD
+            # discipline as the schema-drift guard below).
+            if partition_by != declared_part:
+                raise ValueError(
+                    f"partition-spec drift on table '{table}': writer "
+                    f"passed partition_by={partition_by!r} but the "
+                    f"store's pinned sidecar declares {declared_part!r} "
+                    "(legacy bare sidecars declare None); migrate the "
+                    "store explicitly instead of mixing layouts"
+                )
             # Schema drift must be LOUD (ADVICE.md r3) and must be
             # checked BEFORE the overwrite (ADVICE.md r4: validating
             # after w.parquet() had already clobbered the version dir
@@ -334,6 +349,20 @@ class SnapshotStore:
             pass
         return None
 
+    @staticmethod
+    def _has_data_files(path: str) -> bool:
+        """True if the version dir holds ≥1 parquet data file. An EMPTY
+        partitioned version (``partitionBy`` on a zero-row frame writes
+        only ``_SUCCESS`` — no ``pid=`` subdirs, no files) must not
+        count as evidence of any layout: treating its None layout as
+        "flat" used to trip the mixed-layout fallback, permanently
+        dropping the bucket column from reads and making ``compact``
+        raise (code-review r5)."""
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def read_upto(self, spark: SparkSession, table: str, wave: int) -> DataFrame:
         """Union of delta versions 0..wave (e.g. the cumulative seen set).
 
@@ -394,14 +423,19 @@ class SnapshotStore:
             for w in range(wave + 1)
             if os.path.isdir(self.table_path(table, w))
         ]
-        layouts = {self._partition_col(p) for p in paths}
+        # layout evidence comes only from versions that HOLD DATA — an
+        # empty partitioned version has no pid= dirs and must not read
+        # as "flat" (see _has_data_files)
+        layouts = {
+            self._partition_col(p) for p in paths if self._has_data_files(p)
+        }
         schema, declared = self._table_meta(table)
         # the bucket column: declared in the sidecar's partition spec, or
         # (legacy sidecar) detected from the version dirs themselves
         part_col = declared
         if part_col is None:
             part_col = next((c for c in layouts if c is not None), None)
-        if part_col is not None and layouts != {part_col}:
+        if part_col is not None and layouts and layouts != {part_col}:
             # ≥1 version lacks the physical bucket layout (pre-upgrade
             # flat dirs, possibly mixed with bucketed ones): correctness
             # over pruning — union per-path reads and DROP the bucket
