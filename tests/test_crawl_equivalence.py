@@ -228,9 +228,10 @@ def test_multi_file_seed_list_equivalent(spark, tiny_tables, tiny_dir):
     """A1 guard (VERDICT.md r4 next-round #7): a seed list split over
     TWO text files — with a duplicate URL straddling the file boundary
     — must canonicalize to the exact frontier the parquet seed table
-    produces. The struct-valued seq (file name, monotonic id) keeps the
-    dedup tiebreak deterministic in "files in path order, lines in file
-    order" even though Spark packs multi-file splits by size."""
+    produces. Dedup is keyed wholly on the canonical URL (no order
+    column exists to tiebreak — code-review r5), so Spark's
+    size-ordered multi-file split packing cannot affect the result;
+    this test pins that order-independence."""
     import os
     import tempfile
 

@@ -125,9 +125,13 @@ def update_bloom(bloom: DataFrame, delta: DataFrame, num_shards: int) -> DataFra
     )
 
 
+# uint8 LUT: the fancy-index lookup then allocates a 1× uint8
+# temporary (an int64 LUT would silently make it 8× the bitmap — the
+# exact allocation this LUT exists to avoid); the sum accumulates in
+# int64 regardless via its dtype argument
 _POPCNT = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1
-).sum(axis=1).astype(np.int64)
+).sum(axis=1).astype(np.uint8)
 
 
 def bloom_fill(spark_df: DataFrame) -> DataFrame:
@@ -136,7 +140,8 @@ def bloom_fill(spark_df: DataFrame) -> DataFrame:
     def stats(batches):
         for pdf in batches:
             bits = [
-                int(_POPCNT[np.frombuffer(b, dtype=np.uint8)].sum())
+                int(_POPCNT[np.frombuffer(b, dtype=np.uint8)]
+                    .sum(dtype=np.int64))
                 for b in pdf["bitmap"]
             ]
             yield pd.DataFrame({
@@ -381,8 +386,17 @@ def new_candidates(
     bloom: DataFrame | None,
     num_shards: int,
     use_bloom: bool,
+    probe_fn=None,
 ) -> tuple[DataFrame, DataFrame | None]:
-    """Exact set difference, bloom-accelerated when enabled.
+    """Exact set difference, probabilistic-prefilter-accelerated when
+    enabled. ``probe_fn`` selects the prefilter probe (defaults to
+    :func:`probe_bloom`; the wave loop passes ``probe_cuckoo`` when the
+    config selects the cuckoo shards — injected by the caller so this
+    module never imports the cuckoo twin). This is THE production
+    path: the wave loop calls it directly, so the pruning tests in
+    tests/test_operators.py assert the exact code production runs
+    (code-review r5: an inline copy in run_wave had left this helper
+    test-only — twin-drift hazard).
 
     Returns ``(new, probe_cache)``; ``probe_cache`` (None on the exact
     path) is a persisted intermediate the caller must unpersist once the
@@ -435,7 +449,8 @@ def new_candidates(
     """
     if not use_bloom or bloom is None:
         return exact_new(candidates, seen), None
-    probed = probe_bloom(candidates, bloom, num_shards, keep_pid=True).persist()
+    probe = probe_fn if probe_fn is not None else probe_bloom
+    probed = probe(candidates, bloom, num_shards, keep_pid=True).persist()
     # static bucket pruning (see docstring): collect the positives'
     # distinct pids from the persisted probe cache and prune the
     # partitioned seen scan with a literal IN filter. The wave loop

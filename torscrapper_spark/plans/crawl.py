@@ -63,7 +63,7 @@ from ..operators.seen import (
     empty_bloom,
     exact_new,
     grow_saturated_shards,
-    new_from_probed,
+    new_candidates,
     probe_bloom,
     update_bloom,
     with_pid,
@@ -327,38 +327,31 @@ def load_seeds_text(spark: SparkSession, path: str) -> DataFrame:
     of files (one URL per line) via ``spark.read.text`` — the
     reference's seed source shape (SURVEY.md §2.A A1).
 
-    ``seq`` is only consumed as the duplicate-seed tiebreak (min seq
-    wins in :func:`canonical_seeds`), so any order-preserving value
-    yields the same canonical frontier. A bare
-    ``monotonically_increasing_id`` is NOT order-preserving across
-    files — Spark packs file splits into partitions sorted by size,
-    not name — so a multi-file seed list could silently flip tiebreaks
-    (VERDICT.md r4 next-round #7). ``seq`` is therefore a struct
-    ``(input_file_name, monotonic id)``: ``F.min`` over a struct is
-    lexicographic, giving "files in path order, lines in file order"
-    deterministically with zero extra jobs. Within one file the
-    monotonic id follows line order as long as the file maps to one
-    split (≤ ``spark.sql.files.maxPartitionBytes``, 128 MB default —
-    far above any real seed list's size; a bigger list should arrive
-    as multiple files, which this ordering handles). Blank lines are
-    dropped."""
+    Blank lines are dropped. No line-order column is carried: seed
+    dedup is keyed wholly on the canonical URL and every derived
+    column is a function of it (see :func:`canonical_seeds`), so file
+    order, split packing, and multi-file layout provably cannot affect
+    the canonical frontier — order-independence by construction rather
+    than by tiebreak. (VERDICT.md r4 next-round #7 asked for a guard
+    on the old min-seq tiebreak's cross-file ordering; code-review r5
+    found the aggregated seq was never consumed downstream, so the
+    guard became the stronger "there is nothing order-dependent to
+    protect", pinned by the two-file equivalence test.)"""
     return (
         spark.read.text(path)
-        .select(
-            F.struct(
-                F.input_file_name().alias("f"),
-                F.monotonically_increasing_id().alias("m"),
-            ).alias("seq"),
-            F.trim(F.col("value")).alias("url"),
-        )
+        .select(F.trim(F.col("value")).alias("url"))
         .filter(F.length("url") > 0)
     )
 
 
 def canonical_seeds(seeds: DataFrame) -> DataFrame:
-    """Canonicalize + dedup seeds keeping the lowest seq (A1/A9)."""
-    s = seeds.select("seq", canonicalize_udf(F.col("url")).alias("url"))
-    dedup = s.groupBy("url").agg(F.min("seq").alias("seq"))
+    """Canonicalize + dedup seeds (A1/A9). Every output column is a
+    function of the canonical URL alone (hash, domain, depth=0,
+    wave=0), so the dedup is a plain ``distinct`` — there is no
+    tiebreak to choose and the result is independent of seed order."""
+    dedup = seeds.select(
+        canonicalize_udf(F.col("url")).alias("url")
+    ).distinct()
     return dedup.select(
         "url",
         url_hash_col("url").alias("url_hash"),
@@ -540,17 +533,17 @@ def run_wave(
         validated.filter(F.col("status") == 200), next_wave=wave + 1
     )
     if cfg.use_bloom:
-        probe = probe_cuckoo if cfg.seen_filter == "cuckoo" else probe_bloom
-        probed = probe(
-            candidates, flt, cfg.bloom_shards, keep_pid=True
-        ).persist()
-        pos_pids = [
-            int(r.pid)
-            for r in probed.filter(F.col("maybe_seen"))
-            .select("pid").distinct().collect()
-        ]
-        new = new_from_probed(probed, seen, cfg.bloom_shards, pos_pids)
-        probe_cache = probed
+        # the shared production path (operators/seen.py::new_candidates
+        # — the same code the pruning tests assert on): probe → persist
+        # → distinct-pid collect (fills the cache) → pruned exact
+        # residual. The probe fn is injected per the config's filter.
+        new, probe_cache = new_candidates(
+            candidates, seen, flt, cfg.bloom_shards, use_bloom=True,
+            probe_fn=(
+                probe_cuckoo if cfg.seen_filter == "cuckoo"
+                else probe_bloom
+            ),
+        )
     else:
         # exact path: no probe stage — the first action over the
         # caches is job_seen's write itself (fetch span folds into
