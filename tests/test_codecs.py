@@ -60,3 +60,31 @@ def test_unknown_fmt_raises():
         codecs.encode(_img(), "jpeg")
     with pytest.raises(ValueError):
         codecs.decode(b"", "jpeg", 1, 1)
+
+
+def test_decode_rejects_nonpositive_dims():
+    """Dims are untrusted row data: h=-1 must raise, not silently hand
+    numpy a -1 to INFER the shape from (code-review r5)."""
+    raw = bytes(range(96)) * 1  # 96 bytes = 2x16x3
+    for w, h in ((16, -1), (-1, 2), (0, 4), (4, 0)):
+        with pytest.raises(ValueError, match="invalid image dimensions"):
+            codecs.decode(raw, "rgb8", w, h)
+
+
+def test_decode_ppm_validates_header():
+    """PPM magic, maxval, and header-vs-metadata dims are validated —
+    a mismatched header must be a loud decode error, not a silently
+    reinterpreted payload (code-review r5)."""
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = codecs.encode(px, "ppm")
+    assert codecs.decode(good, "ppm", 2, 2).shape == (2, 2, 3)
+    bad_magic = b"X9" + good[2:]
+    with pytest.raises(ValueError, match="ppm magic"):
+        codecs.decode(bad_magic, "ppm", 2, 2)
+    with pytest.raises(ValueError, match="header declares"):
+        codecs.decode(good, "ppm", 4, 1)  # metadata disagrees
+    bad_max = good.replace(b"\n255\n", b"\n127\n")
+    with pytest.raises(ValueError, match="ppm maxval"):
+        codecs.decode(bad_max, "ppm", 2, 2)
+    with pytest.raises(ValueError, match="missing header"):
+        codecs.decode(b"P6 2 2 255", "ppm", 2, 2)

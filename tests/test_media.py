@@ -455,3 +455,38 @@ def test_media_pipeline_plan_is_shuffle_free(spark):
     # stages themselves must not add an Exchange
     assert plan.count("Exchange") <= 1, plan
     assert plan.count("MapInPandas") == 2, plan
+
+
+def test_resize_offgrid_dims_yield_null_phash(spark):
+    """A 24×24 input resized by 2 lands at 12×12 — off the 8×8 phash
+    grid. Dimensions are data, not config: the row must come back with
+    a NULL phash (same gate as extract_features), not kill the stage
+    on a reshape error (code-review r5). pix_sum/bytes still exact."""
+    out = media.resize_images(
+        media.synthesize_images(_docs(spark).limit(3), 24, 24, "rgb8"), 2
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r["w"], r["h"]) == (12, 12)
+        assert r["phash"] is None
+        want = codecs.resize_area(
+            media.synth_pixels(int(r["image_id"][4:]) % 8191, 24, 24), 2
+        )
+        assert r["pix_sum"] == int(want.sum(dtype=np.int64))
+        assert bytes(r["bytes"]) == codecs.encode(want, "rgb8")
+
+
+def test_resize_error_carries_image_id(spark):
+    """One corrupt payload among many must fail WITH row identity —
+    an unattributed worker ValueError at scale costs a bisection
+    re-run (code-review r5)."""
+    from pyspark.sql import functions as F
+
+    imgs = media.synthesize_images(_docs(spark).limit(3), W, H, "zlib-rgb")
+    corrupt = imgs.withColumn(
+        "bytes",
+        F.when(F.col("image_id") == "img-1",
+               F.lit(b"\x00not-zlib")).otherwise(F.col("bytes")),
+    )
+    with pytest.raises(Exception, match="image img-1"):
+        media.resize_images(corrupt, FACTOR).collect()

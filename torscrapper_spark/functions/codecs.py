@@ -82,14 +82,43 @@ def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
 
     Malformed payloads raise ValueError (compressed fmts via
     :func:`_bounded_decompress`, so a decompression bomb cannot
-    exhaust worker memory)."""
+    exhaust worker memory). Dimensions are untrusted row DATA, not
+    config: non-positive w/h raise instead of reaching numpy, where a
+    ``-1`` would silently trigger reshape's dimension INFERENCE and
+    return a wrong-shaped 'successful' decode (code-review r5)."""
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid image dimensions {w}x{h}")
     if fmt == "rgb8":
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "ppm":
-        # header: P6\n<w> <h>\n255\n — find the third newline
+        # header: P6\n<w> <h>\n255\n — validated, not skipped: a wrong
+        # magic/maxval or header dims disagreeing with the row's w/h
+        # metadata must be a loud decode error here, not a confusing
+        # PSNR failure two stages later (code-review r5)
         idx = 0
-        for _ in range(3):
-            idx = data.index(b"\n", idx) + 1
+        parts = []
+        try:
+            for _ in range(3):
+                nxt = data.index(b"\n", idx)
+                parts.append(data[idx:nxt])
+                idx = nxt + 1
+        except ValueError:
+            raise ValueError("ppm payload missing header lines") from None
+        if parts[0] != b"P6":
+            raise ValueError(f"ppm magic {parts[0]!r}, expected b'P6'")
+        try:
+            hw, hh = (int(x) for x in parts[1].split())
+        except ValueError:
+            raise ValueError(
+                f"ppm header dims {parts[1]!r} unparseable"
+            ) from None
+        if (hw, hh) != (w, h):
+            raise ValueError(
+                f"ppm header declares {hw}x{hh} but row metadata says "
+                f"{w}x{h}"
+            )
+        if parts[2] != b"255":
+            raise ValueError(f"ppm maxval {parts[2]!r}, expected b'255'")
         return np.frombuffer(data, dtype=np.uint8, offset=idx).reshape(h, w, 3)
     if fmt == "zlib-rgb":
         raw = _bounded_decompress(data, w * h * 3)

@@ -190,19 +190,41 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     the DuckDB oracle recomputes in closed form. Lossless formats
     round-trip bit-exactly; lossy formats re-quantize the RESIZED
     pixels (pix_sum and phash are computed before the re-encode, on
-    the exact resized array).
+    the exact resized array). Resized dims off the 8×8 phash grid
+    yield a NULL phash (dimensions are data, not config); per-row
+    decode/resize/encode failures raise with the image_id attached.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                px = codecs.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
-                small = codecs.resize_area(px, factor)
+                # row identity rides every re-raise, same as
+                # extract_features/sample_frames — an unattributed
+                # worker ValueError at scale costs a bisection re-run
+                # (code-review r5)
+                try:
+                    px = codecs.decode(
+                        bytes(r.bytes), r.fmt, int(r.w), int(r.h)
+                    )
+                    small = codecs.resize_area(px, factor)
+                    enc = codecs.encode(small, r.fmt)
+                except (ValueError, TypeError) as e:
+                    raise ValueError(f"image {r.image_id}: {e}") from e
+                sh, sw = small.shape[:2]
+                # dimensions are data, not config: resized dims off the
+                # 8×8 phash grid yield a NULL phash (mirroring
+                # extract_features' gate), not a stage-killing reshape
+                # error (code-review r5)
+                ph = (
+                    codecs.avg_phash(small)
+                    if sh and sw and sh % 8 == 0 and sw % 8 == 0
+                    else None
+                )
                 rows.append((
-                    r.image_id, codecs.encode(small, r.fmt),
+                    r.image_id, enc,
                     int(r.w) // factor, int(r.h) // factor, r.fmt,
-                    r.caption, codecs.avg_phash(small),
+                    r.caption, ph,
                     int(small.sum(dtype=np.int64)),
                 ))
             yield pd.DataFrame(
