@@ -55,3 +55,16 @@ def test_extract_links():
     out = urls.extract_links_series(html)
     assert list(out.iloc[0]) == ["http://a.onion/1", "http://b.onion/2"]
     assert list(out.iloc[1]) == []
+
+
+def test_canonicalize_null_propagates():
+    """A null URL must stay null — .astype(str) used to stringify
+    pd.NA into the literal '<NA>', a phantom URL that got hashed,
+    budgeted, and 404-fetched (code-review r5)."""
+    import pandas as pd
+
+    from torscrapper_spark.functions.urls import canonicalize_series
+
+    out = canonicalize_series(pd.Series([None, "HTTP://A.Onion/#f"]))
+    assert out.iloc[0] is None
+    assert out.iloc[1] == "http://a.onion/"

@@ -12,7 +12,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .urls import canonicalize_series, extract_links_series
+from .urls import _DOMAIN_RE, canonicalize_series, extract_links_series
 
 canonicalize_udf = F.pandas_udf(canonicalize_series, T.StringType())
 
@@ -25,8 +25,11 @@ def url_hash_col(url_col: str | Column) -> Column:
 
 
 def domain_col(url_col: str | Column) -> Column:
-    """Host of a canonical URL — JVM-side regexp, no UDF."""
-    return F.regexp_extract(url_col, r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)", 1)
+    """Host of a canonical URL — JVM-side regexp, no UDF. The pattern
+    IS urls._DOMAIN_RE (one source of truth with the refsim's
+    domain_series — a drifted copy here would silently diverge engine
+    vs reference crawl ordering; code-review r5)."""
+    return F.regexp_extract(url_col, _DOMAIN_RE, 1)
 
 
 def path_col(url_col: str | Column) -> Column:

@@ -16,7 +16,14 @@ Canonical form handled (matches the fixture noise variants, FIXTURES.md A1):
   - sort query parameters bytewise (``?b=2&a=1`` → ``?a=1&b=2``);
     an empty query string (bare ``?``) is dropped
 URLs that do not look like ``scheme://host...`` are returned stripped
-but otherwise untouched (the robots/frontier gates drop them later).
+but otherwise untouched — NOTHING drops them downstream: they flow
+through seen/budget/fetch like any URL (domain '' shares one politeness
+budget and 404s), identically in engine and refsim because both call
+this kernel, so crawl-order equivalence is unaffected. The synthetic
+fixtures emit only absolute onion hrefs, so such rows never arise in
+contract inputs; a production source with relative hrefs should
+resolve them against the page URL before extraction. Null input URLs
+propagate as null (never the literal string ``"<NA>"``).
 """
 
 from __future__ import annotations
@@ -62,7 +69,11 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     out = scheme + "://" + host + path
     out[has_q] = out[has_q] + "?" + sorted_q
     out = out.where(ok, s)
-    return out.astype(object).astype(str)
+    # nulls propagate as None: .astype(str) would stringify pd.NA into
+    # the literal "<NA>" — a phantom URL that gets hashed, budgeted,
+    # and 404-fetched (code-review r5)
+    out = out.astype(object)
+    return out.where(out.notna(), None)
 
 
 def canonicalize_one(url: str) -> str:

@@ -57,6 +57,12 @@ def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
         except Exception:
             pass  # different session or already gone
     name = "snk_" + uuid.uuid4().hex[:12]
+    # registered for predecessor-purge BEFORE start(): the memory sink
+    # creates the temp view at start, so a query that fails mid-drain
+    # must still leave its view on the purge list — appending only
+    # after success leaked one snk_* view per failed call (code-review
+    # r5)
+    _SINK_TABLES.append(name)
     q = (
         df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -67,7 +73,6 @@ def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    _SINK_TABLES.append(name)
     return spark.table(name)
 
 
