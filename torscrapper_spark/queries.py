@@ -348,7 +348,7 @@ def q10(spark, sf):
         .groupBy("band_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.sum(cents(F.col("value"))).alias("cents"),
         )
     )
 
@@ -473,7 +473,7 @@ def q13(spark, sf):
     )
     return e.select(
         "event_id",
-        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("running_cents"),
+        F.sum(cents(F.col("value"))).over(w).alias("running_cents"),
     )
 
 
@@ -546,12 +546,14 @@ def q16(spark, sf):
     )
     exc = (
         c.filter(F.col("c_acctbal") > 0).select("c_custkey")
-        .exceptAll(
+        # subtract == SQL EXCEPT (DISTINCT) exactly; the previous
+        # exceptAll(right.distinct()).distinct() only matched because
+        # c_custkey is unique — a duplicated left key present on both
+        # sides would have left a survivor (code-review r5)
+        .subtract(
             o.filter(F.col("o_orderstatus") == "F")
             .select(F.col("o_custkey").alias("c_custkey"))
-            .distinct()
         )
-        .distinct()
         .withColumn("op", F.lit("except"))
     )
     return inter.unionByName(exc)
@@ -592,7 +594,7 @@ def q18(spark, sf):
     )
     return e.cube("event_type", "day").agg(
         F.count("*").alias("n"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.sum(cents(F.col("value"))).alias("cents"),
     )
 
 
@@ -797,7 +799,7 @@ def q21(spark, sf):
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.sum(cents(F.col("value"))).alias("cents"),
         )
     )
 
@@ -968,19 +970,25 @@ def q27(spark, sf):
 
     @pandas_udf("double")
     def v_min(v: pd.Series) -> float:
-        return float(v.min())
+        # all-NULL group → NULL, matching SQL MIN (float(nan) would
+        # hand the driver a NaN where the oracle has NULL)
+        m = v.min()
+        return None if pd.isna(m) else float(m)
 
     @pandas_udf("double")
     def v_max(v: pd.Series) -> float:
-        return float(v.max())
+        m = v.max()
+        return None if pd.isna(m) else float(m)
 
     @pandas_udf("long")
     def cents_sum(v: pd.Series) -> int:
         # half AWAY FROM ZERO, the cents() contract both engines'
         # round() implements — pandas' .round() is numpy banker's
         # rounding (half-to-even), which silently diverges from the
-        # oracle at exact .5-cent doubles (e.g. value=0.125)
-        x = (v * 100).to_numpy()
+        # oracle at exact .5-cent doubles (e.g. value=0.125).
+        # NULLs are skipped like SQL SUM: a NaN reaching the int64
+        # cast silently becomes INT64_MIN (code-review r5)
+        x = (v.dropna() * 100).to_numpy()
         r = np.sign(x) * np.floor(np.abs(x) + 0.5)
         return int(r.astype("int64").sum())
 
@@ -1175,9 +1183,10 @@ def q32(spark, sf):
     return bits.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-_SHINGLE_DF_CAP = 50  # max docs sharing a shingle before it's dropped
+# max docs sharing a shingle before it is dropped from pair
+# GENERATION (the Jaccard VALUE still uses full shingle sets)
+_SHINGLE_DF_CAP = 50
 _Q33_CACHE: list = []  # q33's persisted shingle set; see its docstring
-                      # from pair GENERATION (Jaccard still uses full sets)
 
 
 @q("q33_dedup_ngram_jaccard", _SHINGLE_SQL + f"""
@@ -1223,7 +1232,10 @@ def q33(spark, sf):
     # releases its PREDECESSOR's cache, bounding the leak to one live
     # shingle set per session instead of one per driver verify run
     while _Q33_CACHE:
-        _Q33_CACHE.pop().unpersist()
+        try:
+            _Q33_CACHE.pop().unpersist()
+        except Exception:
+            pass  # predecessor bound to a stopped/recycled session
     ds = _shingles(spark, sf).distinct().persist()
     _Q33_CACHE.append(ds)
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -1608,6 +1620,32 @@ def _derived_graph_cfg(n_docs: int):
     )
 
 
+def _purge_stale_cache(
+    cache: str, prefix: str, keep: str, min_age_s: int = 3600
+) -> None:
+    """Evict ``.cache/<prefix>_<tag>`` siblings whose tag differs from
+    ``keep``. Without this every package-code edit minted a fresh
+    code-hash-tagged tree and the predecessors lived forever
+    (code-review r5). Age-gated: a stale-tag dir younger than
+    ``min_age_s`` may still be serving a CONCURRENT session running
+    older code (e.g. the driver's verify while this session tests an
+    edit), and deleting parquet under a lazy scan breaks it — the
+    bound is "one live tree per kind, plus the last hour's churn"."""
+    import os
+    import shutil
+    import time
+
+    for name in os.listdir(cache):
+        if not name.startswith(prefix + "_") or name == f"{prefix}_{keep}":
+            continue
+        p = os.path.join(cache, name)
+        try:
+            if time.time() - os.path.getmtime(p) >= min_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # raced by a concurrent purge
+
+
 _PKG_CODE_HASH: list = []  # computed once per process
 
 
@@ -1667,6 +1705,7 @@ def crawl_trace_from_documents(spark, sf, max_waves=2):
         f"{repr(cfg_g)}|waves={max_waves}|code={_pkg_code_hash()}".encode()
     ).hexdigest()[:8]
     path = os.path.join(cache, f"crawlq_{tag}")
+    _purge_stale_cache(cache, "crawlq", tag)
     if not os.path.isdir(path):
         tmp = tempfile.mkdtemp(dir=cache, prefix=f"crawlq_{tag}_tmp")
         try:
@@ -1953,6 +1992,7 @@ def q50(spark, sf):
         f"{sf}|code={_pkg_code_hash()}".encode()
     ).hexdigest()[:8]
     path = os.path.join(cache, f"ts_seedtxt_{tag}")
+    _purge_stale_cache(cache, "ts_seedtxt", tag)
     if not os.path.isdir(path):
         tmp = tempfile.mkdtemp(dir=cache, prefix=f"ts_seedtxt_{tag}_tmp")
         try:
