@@ -649,7 +649,13 @@ def main():
         spark.stop()
 
         def run_leg(n: int, mode: str, submit: bool = False) -> dict:
-            out = tempfile.mktemp(suffix=".json")
+            # named result file, cleaned up after the read: the old
+            # mktemp (deprecated, create-after-name race) leaked one
+            # JSON per leg on the same box whose /tmp exhaustion
+            # already killed a round's later legs once (code-review r5)
+            fd, out = tempfile.mkstemp(suffix=".json")
+            os.close(fd)
+            stage = None
             env = dict(os.environ)
             env["SPARK_GRAFT_SF_DIR"] = sf_dir
             if submit:
@@ -693,9 +699,20 @@ def main():
                 cmd = [sys.executable, os.path.abspath(__file__), "--one",
                        str(n), out, mode]
                 cwd = None
-            subprocess.run(cmd, check=True, env=env, cwd=cwd)
-            with open(out) as f:
-                return json.load(f)
+            try:
+                subprocess.run(cmd, check=True, env=env, cwd=cwd)
+                with open(out) as f:
+                    return json.load(f)
+            finally:
+                # per-leg artifacts are consumed here; leaving them
+                # accumulates 9+ files/dirs per campaign (code-review
+                # r5 — see the /tmp-ENOSPC note above)
+                try:
+                    os.unlink(out)
+                except OSError:
+                    pass
+                if stage is not None:
+                    shutil.rmtree(stage, ignore_errors=True)
 
         def run_pair(ns: tuple, mode: str) -> tuple[dict, float, bool]:
             results = {n: run_leg(n, mode) for n in ns}
@@ -961,7 +978,18 @@ def _ladder_section():
     order = [("quarter", "0.25×", "1250×100", "12,500"),
              ("frozen1x", "1×", "2500×200", "50,000"),
              ("four_x", "4×", "5000×400", "200,000")]
-    if not all(t in ladder and ladder[t].get("rc") == 0 for t, *_ in order):
+    # the plateau prose indexes wave 2 and divides by wall/urls_per_sec/
+    # wave_fetched[2]; a ladder regenerated with fewer waves (or a
+    # degenerate zero) must skip the section, not crash rendering
+    # (code-review r5)
+    if not all(
+        t in ladder and ladder[t].get("rc") == 0
+        and ladder[t].get("wall_sec") and ladder[t].get("urls_per_sec")
+        and len(ladder[t].get("wave_secs") or []) > 2
+        and len(ladder[t].get("wave_fetched") or []) > 2
+        and ladder[t]["wave_fetched"][2]
+        for t, *_ in order
+    ):
         return []
     lines = [
         "",
@@ -1041,6 +1069,17 @@ def _frontier_ab_section():
     if not all(
         ab.get(f"{g}_{m}", {}).get("rc") == 0 for g, m in legs
     ) or not all(ab.get(f"{g}_traces_identical") for g, *_ in graphs):
+        return []
+    # the budget16 prose below max()es over the frontier_io dicts and
+    # ratios divide by urls_per_sec — a leg recorded with rc==0 but
+    # io={} (snapshot dir missing at capture time) or a zero rate must
+    # skip the section, not crash --render-baseline (code-review r5)
+    if (
+        not any(d.startswith("wave=")
+                for d in ab["budget16_delta"].get("frontier_io") or {})
+        or not (ab["budget16_full"].get("frontier_io") or {})
+        or any(not ab[f"{g}_full"].get("urls_per_sec") for g, *_ in graphs)
+    ):
         return []
     lines = [
         "",
@@ -1419,7 +1458,11 @@ def write_baseline_md(campaigns, ceiling,
     ]
     for c in campaigns:
         s, b = c["pair"]
-        if s in ceiling and b in ceiling:
+        # zero-guarded like the JSON summary (bench.py eff_vs_ceiling):
+        # this renders BEFORE that summary is built, so an unguarded
+        # division here would lose BOTH reports after an hours-long
+        # campaign on a degenerate 0.0 probe entry (code-review r5)
+        if s in ceiling and b in ceiling and ceiling[s] and ceiling[b]:
             lines.append(
                 f"- ceiling({s}→{b}) ≈ {ceiling[s] / ceiling[b]:.3f}; best "
                 f"measured Spark efficiency "

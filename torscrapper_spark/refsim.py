@@ -77,17 +77,27 @@ def simulate(
     seen: set = set()
     frontier: list = []  # (url, depth, discovered_wave)
 
-    def allowed(url: str) -> bool:
-        dom = domain_series(pd.Series([url])).iloc[0]
-        return not robots_disallowed(path_of(url), robots_map.get(dom))
+    def allowed_batch(urls: list) -> list:
+        # one vectorized domain_series call per BATCH of URLs — the
+        # old per-URL wrapper built a one-element Series per call,
+        # tens of thousands of single-row pandas round trips per
+        # simulate() on the larger fixture tiers (code-review r5)
+        if not urls:
+            return []
+        doms = domain_series(pd.Series(urls))
+        return [
+            not robots_disallowed(path_of(u), robots_map.get(d))
+            for u, d in zip(urls, doms)
+        ]
 
     # --- seeds (wave 0 frontier) ---
-    canon_seeds = canonicalize_series(seeds.sort_values("seq")["url"])
+    canon_seeds = list(canonicalize_series(seeds.sort_values("seq")["url"]))
+    seed_ok = dict(zip(canon_seeds, allowed_batch(canon_seeds)))
     for u in canon_seeds:
         if u in seen:
             continue
         seen.add(u)
-        if allowed(u):
+        if seed_ok[u]:
             frontier.append((u, 0, 0))
 
     trace_rows = []
@@ -131,12 +141,11 @@ def simulate(
             for u, (_h, d) in zip(canon, wave_links):
                 if u not in depth_by_url or d < depth_by_url[u]:
                     depth_by_url[u] = d
-            for u in sorted(depth_by_url):
-                if u in seen:
-                    continue
-                seen.add(u)
-                new_count += 1
-                if allowed(u):
+            fresh = [u for u in sorted(depth_by_url) if u not in seen]
+            seen.update(fresh)
+            new_count = len(fresh)
+            for u, a in zip(fresh, allowed_batch(fresh)):
+                if a:
                     frontier.append((u, depth_by_url[u], wave + 1))
         stats_rows.append((wave, len(selected), ok, missing, new_count))
         wave += 1
