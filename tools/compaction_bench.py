@@ -57,8 +57,22 @@ def _time_read(spark, st: SnapshotStore, upto: int) -> dict:
 
 
 def main() -> None:
+    import shutil
+
     spark = get_spark("local[8]", shuffle_partitions=8)
-    st = SnapshotStore(tempfile.mkdtemp(prefix="compact_bench_"))
+    root = tempfile.mkdtemp(prefix="compact_bench_")
+    try:
+        _run(spark, root)
+    finally:
+        # ~1.6M rows across 65 version dirs per invocation: exactly the
+        # /tmp-leak class that once ENOSPC-killed later bench legs
+        # (code-review r5)
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+def _run(spark, root: str) -> None:
+    st = SnapshotStore(root)
     out: dict = {"rows_per_wave": ROWS_PER_WAVE, "reps": REPS,
                  "uncompacted": {}, "compacted": {}}
     checkpoints = (8, 16, 32, 64)

@@ -34,6 +34,15 @@ own benches). Otherwise it stays armed for one more healthy window,
 bounded at 2 fires per round. If the deadline passes with no healthy
 window, it force-fires once so the round still carries same-round
 numbers under the (possibly contended) phase, probes attached.
+
+Re-fire safety (code-review r5): every fire snapshots the published
+evidence set (BASELINE.md, baseline_inputs.json, scaling_partial*.json)
+immediately before launching, holds other armed watchers off via
+BENCH/.watch_hold while the campaign runs, and restores the snapshot
+if the new headline efficiency does not beat the already-published one
+— the raw fire<k>.json/.log stay either way, so a worse contended
+re-fire is recorded without regressing the published evidence (the
+same adopt-if-better rule the store-refresh waiters declared).
 """
 
 from __future__ import annotations
@@ -41,6 +50,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -69,6 +79,26 @@ def deadline() -> float | None:
         return None
 
 
+# files bench.py --scaling rewrites at campaign end; a re-fire that
+# measures WORSE than the already-published evidence restores these
+# (keeping its raw fire<k>.json/.log as the no-silent-discard record)
+PUBLISHED = ["BASELINE.md", "baseline_inputs.json",
+             "scaling_partial.json", "scaling_partial_store.json"]
+
+
+def _published_eff() -> float | None:
+    """Headline efficiency currently published in baseline_inputs."""
+    try:
+        with open(os.path.join(BENCH_DIR, "baseline_inputs.json")) as f:
+            camps = json.load(f).get("campaigns") or []
+        return max(
+            h["eff"] for c in camps if c.get("pair") == [4, 16]
+            for h in c.get("history") or []
+        )
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def fire(k: int, probe_ms: float, forced: bool) -> dict | None:
     out_json = os.path.join(BENCH_DIR, f"scaling_{ROUND}_fire{k}.json")
     out_log = os.path.join(BENCH_DIR, f"scaling_{ROUND}_fire{k}.log")
@@ -77,13 +107,39 @@ def fire(k: int, probe_ms: float, forced: bool) -> dict | None:
     # (4,16) pair, 1 of (6,24) for the span-attribution table
     env.setdefault("TS_SCALE_REPEAT", "3,1")
     env.setdefault("TS_SCALE_NS", "4,6")
+    # backups taken immediately BEFORE the fire (not at watcher start —
+    # a startup snapshot would silently revert anything legitimately
+    # published during the hours-long wait; code-review r5)
+    prev_eff = _published_eff()
+    bak = {}
+    for n in PUBLISHED:
+        p = os.path.join(BENCH_DIR, n)
+        if os.path.exists(p):
+            bak[n] = p + f".fire{k}.bak"
+            shutil.copy(p, bak[n])
+    # hold other armed watchers off while the campaign runs: two
+    # concurrent campaigns contention-corrupt each other and burn a
+    # bounded fire slot on a junk run (code-review r5). Guarded like
+    # frontier_ab/scale_ladder: only removed if we created it (we are
+    # only here because no hold existed at the arming check).
+    made_hold = not os.path.exists(HOLD)
+    if made_hold:
+        open(HOLD, "w").close()
     log_line(event="campaign_start", fire=k, probe_ms=probe_ms, forced=forced)
     t0 = time.time()
-    with open(out_json, "w") as jf, open(out_log, "w") as lf:
-        rc = subprocess.call(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
-            stdout=jf, stderr=lf, env=env, cwd=REPO,
-        )
+    try:
+        with open(out_json, "w") as jf, open(out_log, "w") as lf:
+            rc = subprocess.call(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--scaling"],
+                stdout=jf, stderr=lf, env=env, cwd=REPO,
+            )
+    finally:
+        if made_hold:
+            try:
+                os.remove(HOLD)
+            except OSError:
+                pass
     result = None
     if rc == 0:
         try:
@@ -91,10 +147,28 @@ def fire(k: int, probe_ms: float, forced: bool) -> dict | None:
                 result = json.loads(f.read().strip().splitlines()[-1])
         except (ValueError, IndexError):
             pass
+    # keep-best gate (code-review r5): a re-fire (e.g. a forced one
+    # under contention) that measured WORSE than the evidence already
+    # published must not regress BASELINE.md — restore the published
+    # set; the raw fire output above stays committed either way, so
+    # the attempt is recorded, not silently discarded (the same
+    # adopt-if-better rule the store-refresh waiters declared).
+    new_eff = (result or {}).get("value") or 0
+    restored = False
+    if bak and prev_eff is not None and new_eff <= prev_eff:
+        for n, b in bak.items():
+            shutil.copy(b, os.path.join(BENCH_DIR, n))
+        restored = True
+    for b in bak.values():
+        try:
+            os.remove(b)
+        except OSError:
+            pass
     log_line(
         event="campaign_end", fire=k, rc=rc,
         wall_min=round((time.time() - t0) / 60, 1),
         eff=(result or {}).get("value"),
+        prev_published_eff=prev_eff, restored_published=restored,
         probe_after_ms=None,
     )
     return result

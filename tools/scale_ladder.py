@@ -31,7 +31,14 @@ def log(msg):
         f.write(json.dumps(msg) + "\n")
 
 
-open(HOLD, "w").close()  # keep the refresh waiter quiet while we run
+# keep armed watchers quiet while we run — but only remove the hold if
+# WE created it: unconditionally deleting it would release a hold the
+# operator (or another tool) placed for their own foreground work,
+# letting a watcher fire into that load (code-review r5; same
+# made_hold guard as tools/frontier_ab.py)
+made_hold = not os.path.exists(HOLD)
+if made_hold:
+    open(HOLD, "w").close()
 summary = {}
 try:
     for tag, knobs in SIZES:
@@ -60,9 +67,10 @@ try:
         with open("/tmp/scale_ladder_summary.json", "w") as f:
             json.dump(summary, f, indent=1)
 finally:
-    try:
-        os.remove(HOLD)
-    except OSError:
-        pass
+    if made_hold:
+        try:
+            os.remove(HOLD)
+        except OSError:
+            pass
 log({"ladder_complete": True})
 print(json.dumps(summary, indent=1))

