@@ -209,3 +209,100 @@ def test_partition_spec_drift_raises(spark):
     st.commit(1, {"n": 1})
     assert {r.url_hash for r in st.read_upto(spark, "seen", 1).collect()} \
         == {1, 2}
+
+
+def test_evolve_schema_backfills_old_versions_and_gates_writers(spark):
+    """Iceberg ALTER TABLE ADD COLUMNS analogue: after evolve_schema,
+    pre-evolution versions read back with the new column NULL-filled,
+    an old-schema writer fails the drift guard loudly, a new-schema
+    writer succeeds, and compact() materializes the backfill durably."""
+    st = _store(
+        spark, [_pdf([1, 2], 0, with_pid=4), _pdf([5], 1, with_pid=4)],
+        partition_by="pid",
+    )
+    evolved = st.evolve_schema("seen", "lang string")
+    assert evolved.fieldNames()[-1] == "lang"
+    assert evolved["lang"].nullable
+
+    # pre-evolution versions: new column reads as NULL
+    df = st.read_upto(spark, "seen", 1)
+    assert "lang" in df.columns
+    assert df.filter("lang is not null").count() == 0
+    assert {r.url_hash for r in df.collect()} == {1, 2, 5}
+
+    # old-schema writer now fails LOUDLY instead of forking the layout
+    with pytest.raises(ValueError, match="schema drift"):
+        st.write(
+            spark.createDataFrame(_pdf([9], 2, with_pid=4)), "seen", 2,
+            partition_by="pid",
+        )
+
+    # evolved writer succeeds; mixed old/new reads line up
+    new = _pdf([9], 2, with_pid=4)
+    new["lang"] = ["en"]
+    st.write(spark.createDataFrame(new), "seen", 2, partition_by="pid")
+    st.commit(2, {"n": 1})
+    rows = {r.url_hash: r.lang for r in st.read_upto(spark, "seen", 2).collect()}
+    assert rows == {1: None, 2: None, 5: None, 9: "en"}
+
+    # compaction rewrites history under the evolved schema
+    st.compact(spark, "seen", 2)
+    rows = {r.url_hash: r.lang for r in st.read_upto(spark, "seen", 2).collect()}
+    assert rows == {1: None, 2: None, 5: None, 9: "en"}
+    # bucket pruning still reaches the scan post-evolution
+    assert {r.url_hash for r in
+            st.read_upto(spark, "seen", 2).filter("pid = 1").collect()} \
+        == {1, 5, 9}
+
+
+def test_evolve_schema_guards(spark):
+    st = _store(spark, [_pdf([1], 0)])
+    with pytest.raises(ValueError, match="already exists"):
+        st.evolve_schema("seen", "URL_HASH long")  # case-insensitive clash
+    with pytest.raises(ValueError, match="cannot parse DDL"):
+        st.evolve_schema("seen", "not a ddl ::")
+    with pytest.raises(ValueError, match="schema sidecar"):
+        st.evolve_schema("never_written", "x int")
+
+
+def test_metadata_tables_reflect_live_versions_only(spark):
+    """snapshots_df = one row per committed manifest; files_df = live
+    parquet files only — an uncommitted (crashed) wave dir and an
+    orphaned base dir must be invisible, matching Iceberg's
+    snapshots/files metadata tables over reachable snapshots."""
+    import os
+
+    st = _store(
+        spark, [_pdf([1, 2], 0, with_pid=4), _pdf([5, 6], 1, with_pid=4)],
+        partition_by="pid",
+    )
+    snaps = st.snapshots_df(spark)
+    assert [r.wave for r in snaps.orderBy("wave").collect()] == [0, 1]
+    assert all("\"n\":" in r.manifest.replace(" ", "")
+               for r in snaps.collect())
+
+    # crash leftovers: wave 2 written but never committed; orphan base
+    st.write(
+        spark.createDataFrame(_pdf([9], 2, with_pid=4)), "seen", 2,
+        partition_by="pid",
+    )
+    orphan = os.path.join(st.root, "seen", "base=0-7")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as f:
+        f.write(b"x")
+
+    files = st.files_df(spark, "seen").collect()
+    assert files, "committed files must be listed"
+    versions = {r.version for r in files}
+    assert versions == {"wave=0", "wave=1"}
+    assert all(r.partition is not None and r.partition.startswith("pid=")
+               for r in files)
+    assert all(r.size_bytes > 0 for r in files)
+
+    # after commit the wave surfaces; after compact only the live base
+    st.commit(2, {"n": 1})
+    assert {r.version for r in st.files_df(spark, "seen").collect()} \
+        == {"wave=0", "wave=1", "wave=2"}
+    info = st.compact(spark, "seen", 2)
+    assert {r.version for r in st.files_df(spark, "seen").collect()} \
+        == {info["dir"]}

@@ -317,6 +317,147 @@ class SnapshotStore:
     def _schema(self, table: str) -> StructType | None:
         return self._table_meta(table)[0]
 
+    # ---- schema evolution (Iceberg ALTER TABLE ADD COLUMNS) ----
+    def evolve_schema(self, table: str, add_ddl: str) -> StructType:
+        """Additive schema evolution: append new nullable column(s) to the
+        table's pinned sidecar schema, e.g. ``evolve_schema("pages",
+        "lang string, quality double")``. This is the explicit migration
+        path the write/compact drift guards point at ("migrate the store
+        explicitly"), mirroring Iceberg's ``ALTER TABLE … ADD COLUMNS``:
+
+        * **adds only** — renames, drops, and type changes are refused
+          (they would need Iceberg's field-ID indirection to stay safe;
+          a parquet-name-keyed store cannot express them losslessly);
+        * **reads of pre-evolution versions null-fill** the new columns
+          (every read path passes the declared schema to the parquet
+          reader, which treats schema columns absent from a file's
+          footer as NULL — exactly Iceberg's read-time projection);
+        * **writers must catch up at once**: the next :meth:`write`
+          validates against the evolved sidecar, so an old-schema writer
+          fails LOUDLY instead of forking the layout (Iceberg writers
+          likewise always write the table's current schema);
+        * a later :meth:`compact` rewrites history under the evolved
+          schema, materializing the NULL backfill durably.
+
+        Returns the evolved schema. The sidecar rewrite is atomic
+        (tmp-file + fsync + rename, same discipline as commits), so a
+        crash mid-evolve leaves the old schema fully live."""
+        schema, part_col = self._table_meta(table)
+        if schema is None:
+            raise ValueError(
+                f"evolve_schema needs table '{table}' to have a schema "
+                "sidecar (write the table at least once first)"
+            )
+        try:
+            added = StructType.fromDDL(add_ddl)
+        except Exception as e:
+            raise ValueError(
+                f"evolve_schema: cannot parse DDL {add_ddl!r}: {e}"
+            ) from e
+        if not added.fields:
+            raise ValueError("evolve_schema: no columns in DDL")
+        have = {f.name.lower() for f in schema.fields}
+        for f in added.fields:
+            if f.name.lower() in have:
+                raise ValueError(
+                    f"evolve_schema: column '{f.name}' already exists on "
+                    f"table '{table}' (only additive evolution is "
+                    "supported; renames/type-changes need a new table)"
+                )
+            have.add(f.name.lower())
+        evolved = StructType(
+            list(schema.fields)
+            + [
+                # force nullable: old versions MUST read as NULL here
+                type(f)(f.name, f.dataType, True)
+                for f in added.fields
+            ]
+        )
+        sidecar = os.path.join(self.root, table, "_schema.json")
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(sidecar))
+        with os.fdopen(fd, "w") as f:
+            json.dump({
+                "schema": json.loads(evolved.json()),
+                "partition_by": part_col,
+            }, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, sidecar)
+        return evolved
+
+    # ---- metadata tables (Iceberg `snapshots` / `files`) ----
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """The store's commit history as a DataFrame — the Iceberg
+        ``snapshots`` metadata table: one row per committed wave with
+        the manifest payload as a JSON string (``from_json`` /
+        ``get_json_object`` peel out per-crawl metrics). Built from a
+        driver-side listing of the manifest dir — O(waves), metadata
+        not data, the same planning-side cost Iceberg's own metadata
+        tables pay; on a real cluster this is
+        ``spark.read.table("db.tbl.snapshots")``."""
+        rows = []
+        for name in sorted(os.listdir(self._manifest_dir())):
+            if name.startswith("manifest_") and name.endswith(".json"):
+                w = int(name[len("manifest_"):-len(".json")])
+                p = self._manifest_path(w)
+                rows.append(
+                    (w, json.dumps(self.manifest(w), sort_keys=True),
+                     float(os.path.getmtime(p)))
+                )
+        return spark.createDataFrame(
+            rows, "wave int, manifest string, committed_at double"
+        )
+
+    def files_df(self, spark: SparkSession, table: str) -> DataFrame:
+        """Live data files of one table — the Iceberg ``files`` metadata
+        table: one row per parquet file with its version dir (``wave=N``
+        delta or ``base=N-g`` compaction base), hive partition value if
+        bucketed, and size. Drives observability (file-count/size-skew
+        checks, compaction triggers) without touching data. Driver-side
+        walk — O(live files), which compaction keeps bounded; Iceberg
+        reads the same facts from avro manifests.
+
+        Only LIVE versions appear: wave dirs above the last committed
+        manifest are crash leftovers invisible to resume, and base dirs
+        other than the ``_base.json`` marker's are orphans awaiting
+        expiry — both excluded, exactly as Iceberg's ``files`` table
+        reflects reachable snapshots only."""
+        tdir = os.path.join(self.root, table)
+        last = self.last_wave()
+        base = self._base_info(table)
+        live_base = base[1] if base is not None else None
+        rows = []
+        for version in sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []:
+            vdir = os.path.join(tdir, version)
+            if not os.path.isdir(vdir):
+                continue
+            if version.startswith("wave="):
+                if last is None or int(version.split("=", 1)[1]) > last:
+                    continue
+            elif version.startswith("base="):
+                if version != live_base:
+                    continue
+            else:
+                continue
+            for root, _dirs, files in os.walk(vdir):
+                part = None
+                rel = os.path.relpath(root, vdir)
+                for seg in rel.split(os.sep):
+                    if "=" in seg:
+                        part = seg
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        fp = os.path.join(root, fn)
+                        rows.append(
+                            (table, version, part, fp,
+                             int(os.path.getsize(fp)))
+                        )
+        return spark.createDataFrame(
+            rows,
+            "table string, version string, partition string, "
+            "path string, size_bytes long",
+        )
+
     def commit(self, wave: int, info: dict) -> None:
         """Atomically publish version ``wave`` (manifest is the commit point)."""
         payload = dict(info)
