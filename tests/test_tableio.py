@@ -306,3 +306,36 @@ def test_metadata_tables_reflect_live_versions_only(spark):
     info = st.compact(spark, "seen", 2)
     assert {r.version for r in st.files_df(spark, "seen").collect()} \
         == {info["dir"]}
+
+
+def test_files_df_excludes_expired_wave_dirs_below_base(spark):
+    """compact() killed after the marker flip but mid-expire leaves a
+    wave dir ≤ base wave on disk; read_upto already ignores it, and
+    files_df must too (session-14 review: it was listed as live,
+    double-counting bytes for observability consumers)."""
+    import os
+    import shutil as sh
+
+    st = _store(
+        spark, [_pdf([1], 0, with_pid=4), _pdf([2], 1, with_pid=4),
+                _pdf([3], 2, with_pid=4)],
+        partition_by="pid",
+    )
+    # preserve wave=1, compact, then put it back = crash mid-expire
+    saved = os.path.join(st.root, "_saved_wave1")
+    sh.copytree(st.table_path("seen", 1), saved)
+    info = st.compact(spark, "seen", 2)
+    sh.copytree(saved, st.table_path("seen", 1))
+    assert {r.version for r in st.files_df(spark, "seen").collect()} \
+        == {info["dir"]}
+    # and reads stay correct regardless
+    assert {r.url_hash for r in st.read_upto(spark, "seen", 2).collect()} \
+        == {1, 2, 3}
+
+
+def test_evolve_schema_preserves_field_metadata(spark):
+    st = _store(spark, [_pdf([1], 0)])
+    evolved = st.evolve_schema("seen", "lang string COMMENT 'ISO 639-1'")
+    assert evolved["lang"].metadata.get("comment") == "ISO 639-1"
+    # and it round-trips through the sidecar
+    assert st._schema("seen")["lang"].metadata.get("comment") == "ISO 639-1"

@@ -57,6 +57,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+from tools import holdfile  # noqa: E402
 BENCH_DIR = os.path.join(REPO, "BENCH")
 ROUND = os.environ.get("TS_ROUND", "r05")
 LOG = os.path.join(BENCH_DIR, f"probe_log_{ROUND}.jsonl")
@@ -99,7 +100,22 @@ def _published_eff() -> float | None:
         return None
 
 
-def fire(k: int, probe_ms: float, forced: bool) -> dict | None:
+def fire(k: int, probe_ms: float, forced: bool) -> dict:
+    """Returns {"ran": bool, "result": dict | None}. ran=False means the
+    fire was DEFERRED (a live hold appeared between the arming check and
+    here — firing into another tool's held foreground load would burn a
+    bounded fire slot on a junk run; code-review r5 session 14) and the
+    caller must not count it against MAX_FIRES."""
+    # hold other armed watchers off while the campaign runs: two
+    # concurrent campaigns contention-corrupt each other. acquire() is
+    # stale-aware (a dead creator's hold is cleaned, not honored) and
+    # records our pid so a hard kill of THIS watcher cannot wedge the
+    # fleet the way the old empty finally-removed file could.
+    made_hold = holdfile.acquire(HOLD)
+    if not made_hold and holdfile.hold_active(HOLD):
+        log_line(event="campaign_deferred_hold", fire=k, probe_ms=probe_ms,
+                 forced=forced)
+        return {"ran": False, "result": None}
     out_json = os.path.join(BENCH_DIR, f"scaling_{ROUND}_fire{k}.json")
     out_log = os.path.join(BENCH_DIR, f"scaling_{ROUND}_fire{k}.log")
     env = dict(os.environ)
@@ -117,14 +133,6 @@ def fire(k: int, probe_ms: float, forced: bool) -> dict | None:
         if os.path.exists(p):
             bak[n] = p + f".fire{k}.bak"
             shutil.copy(p, bak[n])
-    # hold other armed watchers off while the campaign runs: two
-    # concurrent campaigns contention-corrupt each other and burn a
-    # bounded fire slot on a junk run (code-review r5). Guarded like
-    # frontier_ab/scale_ladder: only removed if we created it (we are
-    # only here because no hold existed at the arming check).
-    made_hold = not os.path.exists(HOLD)
-    if made_hold:
-        open(HOLD, "w").close()
     log_line(event="campaign_start", fire=k, probe_ms=probe_ms, forced=forced)
     t0 = time.time()
     try:
@@ -135,11 +143,7 @@ def fire(k: int, probe_ms: float, forced: bool) -> dict | None:
                 stdout=jf, stderr=lf, env=env, cwd=REPO,
             )
     finally:
-        if made_hold:
-            try:
-                os.remove(HOLD)
-            except OSError:
-                pass
+        holdfile.release(HOLD, made_hold)
     result = None
     if rc == 0:
         try:
@@ -147,17 +151,36 @@ def fire(k: int, probe_ms: float, forced: bool) -> dict | None:
                 result = json.loads(f.read().strip().splitlines()[-1])
         except (ValueError, IndexError):
             pass
-    # keep-best gate (code-review r5): a re-fire (e.g. a forced one
-    # under contention) that measured WORSE than the evidence already
-    # published must not regress BASELINE.md — restore the published
-    # set; the raw fire output above stays committed either way, so
-    # the attempt is recorded, not silently discarded (the same
-    # adopt-if-better rule the store-refresh waiters declared).
-    new_eff = (result or {}).get("value") or 0
+    # keep-best gate (code-review r5): ADOPT only a clean, parseable
+    # run that beats the published headline; everything else restores
+    # the pre-fire snapshot. In particular (session-14 review): a
+    # CRASHED campaign (rc != 0 / unparseable output) restores even
+    # when the published eff could not be read (prev_eff None) —
+    # bench.py persists partial campaign state as it goes, so a junk
+    # run would otherwise replace the scaling_partial.json that
+    # resume-mode waiters consume. The raw fire output above stays
+    # committed either way, so the attempt is recorded, not silently
+    # discarded (the adopt-if-better rule the store-refresh waiters
+    # declared).
+    new_eff = (result or {}).get("value")
+    adopt = (
+        rc == 0 and new_eff is not None
+        and (prev_eff is None or new_eff > prev_eff)
+    )
     restored = False
-    if bak and prev_eff is not None and new_eff <= prev_eff:
+    if bak and not adopt:
         for n, b in bak.items():
             shutil.copy(b, os.path.join(BENCH_DIR, n))
+        # published files the rejected campaign created ANEW (absent
+        # pre-fire, so nothing to restore over them) must not survive
+        # next to the restored set — a mixed-generation evidence set
+        # reads as one campaign's output but isn't (session-14 review)
+        for n in PUBLISHED:
+            if n not in bak:
+                try:
+                    os.remove(os.path.join(BENCH_DIR, n))
+                except OSError:
+                    pass
         restored = True
     for b in bak.values():
         try:
@@ -167,11 +190,11 @@ def fire(k: int, probe_ms: float, forced: bool) -> dict | None:
     log_line(
         event="campaign_end", fire=k, rc=rc,
         wall_min=round((time.time() - t0) / 60, 1),
-        eff=(result or {}).get("value"),
+        eff=new_eff,
         prev_published_eff=prev_eff, restored_published=restored,
         probe_after_ms=None,
     )
-    return result
+    return {"ran": True, "result": result}
 
 
 def main() -> None:
@@ -204,7 +227,7 @@ def main() -> None:
              fires=fires)
     while True:
         p = tenancy_probe()
-        armed = os.path.exists(ARMED) and not os.path.exists(HOLD)
+        armed = os.path.exists(ARMED) and not holdfile.hold_active(HOLD)
         dl = deadline() if armed else None
         forced = dl is not None and time.time() >= dl
         log_line(probe_ms=p, armed=armed, fires=fires)
@@ -215,14 +238,17 @@ def main() -> None:
             p2 = tenancy_probe()
             log_line(probe_ms=p2, event="confirm", armed=True)
             if p2 < thresh or forced:
-                fires += 1
-                result = fire(fires, min(p, p2), forced)
-                if forced or (result is not None
-                              and (result.get("value") or 0) >= 0.8):
-                    try:
-                        os.remove(ARMED)
-                    except FileNotFoundError:
-                        pass
+                outcome = fire(fires + 1, min(p, p2), forced)
+                if outcome["ran"]:
+                    # a hold-deferred fire does not consume a slot
+                    fires += 1
+                    result = outcome["result"]
+                    if forced or (result is not None
+                                  and (result.get("value") or 0) >= 0.8):
+                        try:
+                            os.remove(ARMED)
+                        except FileNotFoundError:
+                            pass
         time.sleep(interval)
 
 

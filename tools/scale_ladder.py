@@ -13,6 +13,9 @@ import sys
 import time
 
 REPO = "/root/repo"
+sys.path.insert(0, REPO)
+from tools import holdfile  # noqa: E402
+
 HOLD = os.path.join(REPO, "BENCH", ".watch_hold")
 LOG = "/tmp/scale_ladder.log"
 
@@ -36,9 +39,7 @@ def log(msg):
 # operator (or another tool) placed for their own foreground work,
 # letting a watcher fire into that load (code-review r5; same
 # made_hold guard as tools/frontier_ab.py)
-made_hold = not os.path.exists(HOLD)
-if made_hold:
-    open(HOLD, "w").close()
+made_hold = holdfile.acquire(HOLD)
 summary = {}
 try:
     for tag, knobs in SIZES:
@@ -67,10 +68,6 @@ try:
         with open("/tmp/scale_ladder_summary.json", "w") as f:
             json.dump(summary, f, indent=1)
 finally:
-    if made_hold:
-        try:
-            os.remove(HOLD)
-        except OSError:
-            pass
+    holdfile.release(HOLD, made_hold)
 log({"ladder_complete": True})
 print(json.dumps(summary, indent=1))

@@ -27,6 +27,7 @@ import time
 REPO = "/root/repo"
 sys.path.insert(0, REPO)
 from bench import tenancy_probe  # noqa: E402
+from tools import holdfile  # noqa: E402
 
 THRESH = 62.0
 DEADLINE = time.time() + 240 * 60  # give up (do NOT force) after 4 h
@@ -46,7 +47,7 @@ def log(msg):
 
 fired = False
 while time.time() < DEADLINE:
-    if os.path.exists(HOLD):
+    if holdfile.hold_active(HOLD):
         log({"hold": True, "ts": time.time()})
         time.sleep(180)
         continue
@@ -66,19 +67,34 @@ if not fired:
         json.dump({"fired": False}, f)
     sys.exit(0)
 
+# take the hold FIRST and re-check it wasn't another tool's (a hold
+# appearing between the loop's check and here means someone else's
+# campaign — firing into it would corrupt both; session-14 review):
+# defer back into the wait loop rather than burn the healthy window
+made_hold = holdfile.acquire(HOLD)
+if not made_hold and holdfile.hold_active(HOLD):
+    log({"done": "deferred: another tool took the hold at fire time"})
+    with open("/tmp/store_refresh_waiter3.result", "w") as f:
+        json.dump({"fired": False, "deferred": True}, f)
+    sys.exit(0)
 # snapshot the restore set NOW (not at startup): anything published
-# while we waited stays published if this refresh is rejected
+# while we waited stays published if this refresh is rejected. A
+# PROTECTED file missing at fire time (never created this round) is
+# recorded as absent, not crashed on (session-14 review: an uncaught
+# FileNotFoundError here killed the waiter AFTER it consumed the
+# scarce healthy window), and is deleted again on restore.
+bak_present = {}
 for n, b in BAK.items():
-    shutil.copy(os.path.join(BENCH_DIR, n), b)
+    p = os.path.join(BENCH_DIR, n)
+    if os.path.exists(p):
+        shutil.copy(p, b)
+        bak_present[n] = b
 env = dict(os.environ)
 env["TS_RESUME_CAMPAIGN"] = os.path.join(BENCH_DIR, "scaling_partial.json")
 env["TS_STORE_REPEAT"] = "2"
 out = os.path.join(BENCH_DIR, "scaling_r05_store_refresh2.json")
 logf = os.path.join(BENCH_DIR, "scaling_r05_store_refresh2.log")
 t0 = time.time()
-made_hold = not os.path.exists(HOLD)
-if made_hold:
-    open(HOLD, "w").close()
 try:
     with open(out, "w") as jf, open(logf, "w") as lf:
         rc = subprocess.call(
@@ -86,11 +102,7 @@ try:
             stdout=jf, stderr=lf, env=env, cwd=REPO,
         )
 finally:
-    if made_hold:
-        try:
-            os.remove(HOLD)
-        except OSError:
-            pass
+    holdfile.release(HOLD, made_hold)
 wall_min = round((time.time() - t0) / 60, 1)
 
 adopted = False
@@ -106,9 +118,15 @@ if rc == 0:
             adopted = True
             reason = f"new_eff={new_eff:.3f} > {PUBLISHED_STORE_EFF:.3f}"
             # rewrite the outcome record: adopted attempt + waiter2's
-            # rejected one stay published together
-            with open(BAK["store_refresh_r05_outcome.json"]) as f:
-                rec = json.load(f)
+            # rejected one stay published together (if waiter2's record
+            # exists — a round without one publishes just this attempt)
+            prior = bak_present.get("store_refresh_r05_outcome.json")
+            if prior is not None:
+                with open(prior) as f:
+                    rec = json.load(f)
+            else:
+                rec = {"provenance": "(no earlier refresh attempt "
+                                     "recorded this round)"}
             rec2 = {
                 "provenance": rec["provenance"] + " A later waiter fired "
                 "in a healthy window (two probes < 62 ms) and its refresh "
@@ -144,8 +162,17 @@ if rc == 0:
         reason = f"parse failure: {e!r}"
 
 if not adopted:
-    for n, b in BAK.items():
-        shutil.copy(b, os.path.join(BENCH_DIR, n))
+    for n in PROTECTED:
+        p = os.path.join(BENCH_DIR, n)
+        if n in bak_present:
+            shutil.copy(bak_present[n], p)
+        else:
+            # absent pre-fire: the rejected campaign must not leave a
+            # freshly-created file next to the restored set
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 log({"done": rc, "wall_min": wall_min, "adopted": adopted,
      "reason": reason})
 with open("/tmp/store_refresh_waiter3.result", "w") as f:

@@ -47,7 +47,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 
 class SnapshotStore:
@@ -368,8 +368,9 @@ class SnapshotStore:
         evolved = StructType(
             list(schema.fields)
             + [
-                # force nullable: old versions MUST read as NULL here
-                type(f)(f.name, f.dataType, True)
+                # force nullable (old versions MUST read as NULL here);
+                # keep field metadata (e.g. a DDL COMMENT) intact
+                StructField(f.name, f.dataType, True, f.metadata)
                 for f in added.fields
             ]
         )
@@ -395,15 +396,11 @@ class SnapshotStore:
         not data, the same planning-side cost Iceberg's own metadata
         tables pay; on a real cluster this is
         ``spark.read.table("db.tbl.snapshots")``."""
-        rows = []
-        for name in sorted(os.listdir(self._manifest_dir())):
-            if name.startswith("manifest_") and name.endswith(".json"):
-                w = int(name[len("manifest_"):-len(".json")])
-                p = self._manifest_path(w)
-                rows.append(
-                    (w, json.dumps(self.manifest(w), sort_keys=True),
-                     float(os.path.getmtime(p)))
-                )
+        rows = [
+            (w, json.dumps(self.manifest(w), sort_keys=True),
+             float(os.path.getmtime(self._manifest_path(w))))
+            for w in self._committed_waves()
+        ]
         return spark.createDataFrame(
             rows, "wave int, manifest string, committed_at double"
         )
@@ -418,21 +415,26 @@ class SnapshotStore:
         reads the same facts from avro manifests.
 
         Only LIVE versions appear: wave dirs above the last committed
-        manifest are crash leftovers invisible to resume, and base dirs
-        other than the ``_base.json`` marker's are orphans awaiting
-        expiry — both excluded, exactly as Iceberg's ``files`` table
-        reflects reachable snapshots only."""
+        manifest are crash leftovers invisible to resume; wave dirs at
+        or below the compaction base are expired (their rows live in
+        the base — a crash mid-expire can leave such a dir on disk,
+        and read_upto already ignores it); base dirs other than the
+        ``_base.json`` marker's are orphans awaiting expiry — all
+        excluded, exactly as Iceberg's ``files`` table reflects
+        reachable snapshots only."""
         tdir = os.path.join(self.root, table)
         last = self.last_wave()
         base = self._base_info(table)
         live_base = base[1] if base is not None else None
+        base_wave = base[0] if base is not None else -1
         rows = []
         for version in sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []:
             vdir = os.path.join(tdir, version)
             if not os.path.isdir(vdir):
                 continue
             if version.startswith("wave="):
-                if last is None or int(version.split("=", 1)[1]) > last:
+                w = int(version.split("=", 1)[1])
+                if last is None or w > last or w <= base_wave:
                     continue
             elif version.startswith("base="):
                 if version != live_base:
@@ -609,13 +611,19 @@ class SnapshotStore:
         return self._reader(spark, table).parquet(*paths)
 
     # ---- manifests ----
-    def last_wave(self) -> int | None:
-        waves = [
+    def _committed_waves(self) -> list[int]:
+        """Sorted committed wave numbers — the single parser of manifest
+        file names (last_wave and snapshots_df both ride it, so the two
+        views of commit history cannot diverge)."""
+        return sorted(
             int(n[len("manifest_"):-len(".json")])
             for n in os.listdir(self._manifest_dir())
             if n.startswith("manifest_") and n.endswith(".json")
-        ]
-        return max(waves) if waves else None
+        )
+
+    def last_wave(self) -> int | None:
+        waves = self._committed_waves()
+        return waves[-1] if waves else None
 
     def manifest(self, wave: int) -> dict:
         with open(self._manifest_path(wave)) as f:
