@@ -339,3 +339,48 @@ def test_evolve_schema_preserves_field_metadata(spark):
     assert evolved["lang"].metadata.get("comment") == "ISO 639-1"
     # and it round-trips through the sidecar
     assert st._schema("seen")["lang"].metadata.get("comment") == "ISO 639-1"
+
+
+def test_rollback_then_resume_reproduces_golden_trace(spark, tiny_dir):
+    """Iceberg rollback_to_snapshot analogue: un-commit waves above the
+    target, resume, and the re-run must produce the bit-identical trace
+    an uninterrupted crawl produces (determinism makes rollback a pure
+    time-travel op). Guards: uncommitted target, rollback below a
+    compaction base, rollback below state retention — all refused
+    BEFORE any manifest is deleted."""
+    ps = C.load_pagestore(spark, f"{tiny_dir}/pagestore.parquet")
+    seeds = spark.read.parquet(f"{tiny_dir}/seeds.parquet")
+    robots = spark.read.parquet(f"{tiny_dir}/robots.parquet")
+    pol = spark.read.parquet(f"{tiny_dir}/politeness.parquet")
+    cfg = C.CrawlConfig(max_waves=4)
+
+    s_full = SnapshotStore(tempfile.mkdtemp(prefix="tsio_rbf_"))
+    C.run_crawl(spark, s_full, ps, seeds, robots, pol, cfg)
+
+    s_rb = SnapshotStore(tempfile.mkdtemp(prefix="tsio_rb_"))
+    C.run_crawl(spark, s_rb, ps, seeds, robots, pol, cfg)
+    info = s_rb.rollback(1, require_state=("frontier",))
+    assert info["dropped_waves"] == [2, 3, 4]
+    assert s_rb.last_wave() == 1
+    C.run_crawl(spark, s_rb, ps, seeds, robots, pol, cfg)  # resume 2..4
+
+    def trace(st):
+        return (
+            st.read_outputs(spark, "trace").orderBy("wave", "seq")
+            .select("wave", "seq", "url", "depth", "status").toPandas()
+        )
+
+    assert trace(s_full).equals(trace(s_rb))
+
+    # guards
+    with pytest.raises(ValueError, match="not a committed wave"):
+        s_rb.rollback(99)
+    s_rb.compact(spark, "seen", 2)
+    with pytest.raises(ValueError, match="compacted through"):
+        s_rb.rollback(1)
+    # state-retention guard: frontier version dir removed under target
+    shutil.rmtree(s_rb.table_path("frontier", 3))
+    with pytest.raises(ValueError, match="no version dir there"):
+        s_rb.rollback(3, require_state=("frontier",))
+    # and nothing was deleted by the refused attempts
+    assert s_rb.last_wave() == 4

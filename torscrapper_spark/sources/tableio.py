@@ -460,6 +460,62 @@ class SnapshotStore:
             "path string, size_bytes long",
         )
 
+    def rollback(self, to_wave: int, require_state: tuple = ()) -> dict:
+        """Make ``to_wave`` the last committed version — the Iceberg
+        ``rollback_to_snapshot`` analogue. A poisoned wave (bad fetch
+        content, a buggy extractor rollout) is un-committed by deleting
+        its manifest: manifests are the only commit points, so every
+        read/resume path (``last_wave`` → ``read_upto`` /
+        ``read_outputs`` / ``run_crawl`` resume) stops seeing waves
+        above the target the instant their manifests are gone.
+
+        Deletion runs in DESCENDING wave order — each unlink is one
+        atomic un-commit, so a crash mid-rollback leaves a shorter but
+        still-consistent chain (some waves rolled back, none half
+        visible). Version dirs above the target stay on disk: they are
+        unreachable (exactly the crash-mid-wave contract) and the
+        re-run overwrites them.
+
+        Guards: ``to_wave`` must itself be committed; no table's
+        compaction base may sit above it (those snapshots are expired —
+        Iceberg likewise cannot roll back past ``expire_snapshots``);
+        each table named in ``require_state`` (the caller's state
+        tables, e.g. ``("frontier",)``) must still hold its ``to_wave``
+        version dir, catching a rollback below
+        :meth:`expire_state_snapshots`'s retention BEFORE any manifest
+        is deleted rather than at the resume that would fail."""
+        waves = self._committed_waves()
+        if to_wave not in waves:
+            shown = waves if len(waves) <= 6 else f"{waves[:3]}…{waves[-3:]}"
+            raise ValueError(
+                f"rollback target {to_wave} is not a committed wave "
+                f"(committed: {shown})"
+            )
+        for name in os.listdir(self.root):
+            if name == "_manifests":
+                continue
+            if os.path.isdir(os.path.join(self.root, name)):
+                b = self.base_wave(name)
+                if b is not None and b > to_wave:
+                    raise ValueError(
+                        f"cannot roll back to wave {to_wave}: table "
+                        f"'{name}' is compacted through wave {b} — those "
+                        "snapshots are expired (Iceberg cannot roll back "
+                        "past expire_snapshots either)"
+                    )
+        for t in require_state:
+            if not os.path.isdir(self.table_path(t, to_wave)):
+                raise ValueError(
+                    f"cannot roll back to wave {to_wave}: state table "
+                    f"'{t}' has no version dir there (expired by "
+                    "retain_state_snapshots?) — resume would have no "
+                    "state to restart from"
+                )
+        dropped = [w for w in waves if w > to_wave]
+        for w in sorted(dropped, reverse=True):
+            os.remove(self._manifest_path(w))
+        return {"rolled_back_to": to_wave, "dropped_waves": dropped}
+
     def commit(self, wave: int, info: dict) -> None:
         """Atomically publish version ``wave`` (manifest is the commit point)."""
         payload = dict(info)
