@@ -1150,6 +1150,58 @@ def _frontier_ab_section():
     return lines
 
 
+def _submit_pair_section(path: str | None = None):
+    """Render the spark-submit scaling PAIR from its committed artifact
+    (BENCH/submit_pair_r05.json, written by tools/submit_pair.py). The
+    north rule's wording is "run via spark-submit --py-files … at two
+    cluster sizes"; the criterion-bearing measurement above is the
+    in-process pair (where the round's contention-control protocol
+    lives), and this section corroborates it in the literal deployment
+    shape — both legs through `spark-submit --py-files` with the driver
+    script staged outside the repo. Empty if the artifact is absent."""
+    if path is None:
+        path = os.path.join(REPO, "BENCH", "submit_pair_r05.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return []
+    legs = rec.get("legs") or {}
+    if not legs:
+        return []
+    rows = [
+        "| master | urls/sec | probe [before, after] ms | "
+        "fp = in-process fp |",
+        "|---|---|---|---|",
+    ]
+    for n in sorted(legs, key=int):
+        r = legs[n]
+        rows.append(
+            f"| local[{n}] | {r['urls_per_sec']} | {r.get('probe_ms')} | "
+            f"{r.get('fp_matches_in_process')} |"
+        )
+    return [
+        "",
+        "### spark-submit scaling pair (corroboration)",
+        "",
+        "The SAME frozen graph/config as the headline pair, but BOTH "
+        "legs launched via `spark-submit --master local[N] --py-files "
+        "torscrapper_spark.zip` with the driver script staged outside "
+        "the repo — the north rule's literal deployment shape at two "
+        "sizes. " + rec.get("conditions", ""),
+        "",
+        *rows,
+        "",
+        f"Scaling efficiency (submit pair) = **{rec['eff']}**; "
+        f"traces bit-identical between the two submit legs: "
+        f"**{rec['identical']}**. The criterion-bearing figure remains "
+        "the in-process headline pair above (measured under the "
+        "round's tenancy-watch protocol); this table evidences that "
+        "the deployment mode itself neither changes results nor the "
+        "scaling shape.",
+    ]
+
+
 def _store_refresh_section():
     """Render the store-leg refresh record from the committed outcome
     artifact (BENCH/store_refresh_r05_outcome.json + the raw campaign
@@ -1488,6 +1540,7 @@ def write_baseline_md(campaigns, ceiling,
             f"{submit_info['master'][5:]} run: "
             f"**{submit_info['matches_in_process']}**",
         ]
+        lines += _submit_pair_section()
     if store_results is not None:
         # describe the graph the store legs ACTUALLY crawled (sf is
         # passed through to the subprocess), not a hardcoded 0.1 —

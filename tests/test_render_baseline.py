@@ -19,6 +19,7 @@ ARTIFACTS = (
     "scale_ladder_r05.json",
     "frontier_ab_r05.json",
     "store_refresh_r05_outcome.json",
+    "submit_pair_r05.json",
 )
 
 
@@ -121,3 +122,40 @@ def test_committed_baseline_matches_fresh_render(tmp_path, monkeypatch,
         "BENCH/BASELINE.md has drifted from the persisted inputs — "
         "re-run `python bench.py --render-baseline` and commit"
     )
+
+
+def test_submit_pair_section_renders_and_is_absent_without_artifact():
+    """The spark-submit PAIR section (tools/submit_pair.py artifact):
+    rendered with efficiency, per-leg probes, and fp-match flags when
+    the artifact exists; empty (not crashing) when it doesn't."""
+    import bench as _b
+
+    assert _b._submit_pair_section("/nonexistent/submit_pair.json") == []
+    rec = {
+        "eff": 0.77, "identical": True,
+        "conditions": "Fired in a healthy window (two consecutive probes "
+                      "[60.1, 59.2] ms at fire time).",
+        "legs": {
+            "4": {"urls_per_sec": 900.0, "probe_ms": [60.1, 61.0],
+                  "fp_matches_in_process": True},
+            "16": {"urls_per_sec": 2772.0, "probe_ms": [59.0, 62.0],
+                   "fp_matches_in_process": True},
+        },
+    }
+    import json as _json
+    import tempfile
+    fd, p = tempfile.mkstemp(suffix=".json")
+    os.close(fd)
+    try:
+        with open(p, "w") as f:
+            _json.dump(rec, f)
+        text = "\n".join(_b._submit_pair_section(p))
+    finally:
+        os.unlink(p)
+    assert "spark-submit scaling pair" in text
+    assert "= **0.77**" in text
+    assert "| local[4] | 900.0 |" in text
+    assert "| local[16] | 2772.0 |" in text
+    assert "healthy window" in text
+    # legs table ordered numerically, not lexically ("16" < "4" as str)
+    assert text.index("local[4]") < text.index("local[16]")
