@@ -522,6 +522,41 @@ def trace_fingerprint(spark, snap_dir: str) -> tuple[int, int]:
     return int(h["n"]), int(h["s"])
 
 
+def package_zip() -> str:
+    """Zip the package for --py-files shipping (shared by run_leg's
+    submit branch and tools/submit_pair.py, so the deployment shape
+    cannot drift between the single-leg evidence and the pair)."""
+    pkg = os.path.join(CACHE_DIR, "torscrapper_spark_pkg")
+    return shutil.make_archive(
+        pkg, "zip", root_dir=REPO, base_dir="torscrapper_spark"
+    )
+
+
+def submit_leg_cmd(n: int, out: str, mode: str, zip_path: str,
+                   stage: str) -> list:
+    """spark-submit invocation for one `--one` crawl leg, with the
+    driver script STAGED OUTSIDE the repo (the package import can only
+    resolve from the shipped zip). --driver-memory/--driver-java-options
+    must be CLI flags: under spark-submit the driver JVM is up before
+    any in-session conf is read; scaling mode pins the same small
+    fully-pretouched heap the in-process legs use (the payload lives in
+    the Python workers, not the JVM)."""
+    script = os.path.join(stage, "bench_submit.py")
+    shutil.copy(os.path.abspath(__file__), script)
+    mem = (
+        "8g" if mode == "scaling"
+        else os.environ.get("SPARK_DRIVER_MEM", "8g")
+    )
+    return [
+        shutil.which("spark-submit") or "spark-submit",
+        "--master", f"local[{n}]",
+        "--driver-memory", mem,
+        "--driver-java-options", f"-Xms{mem} -XX:+AlwaysPreTouch",
+        "--py-files", zip_path,
+        script, "--one", str(n), out, mode,
+    ]
+
+
 def fresh_spark(cpus: int, shuffle_partitions: int | None = None,
                 pretouch: bool = False):
     from pyspark.sql import SparkSession
@@ -659,41 +694,16 @@ def main():
             env = dict(os.environ)
             env["SPARK_GRAFT_SF_DIR"] = sf_dir
             if submit:
-                # deployment-shape leg: the driver script is COPIED
-                # outside the repo and the package ships ONLY via
-                # --py-files, so a torscrapper_spark import succeeding
-                # proves the zip path works (sys.path[0] is the staged
-                # script's dir; the repo is on neither sys.path nor
-                # PYTHONPATH). Graphs are reused via TS_CACHE_DIR.
-                # --driver-memory/--driver-java-options must be CLI
-                # flags here: under spark-submit the driver JVM is up
-                # before any in-session conf is read.
-                pkg = os.path.join(CACHE_DIR, "torscrapper_spark_pkg")
-                zip_path = shutil.make_archive(
-                    pkg, "zip", root_dir=REPO, base_dir="torscrapper_spark"
-                )
+                # deployment-shape leg (see submit_leg_cmd): the driver
+                # script is COPIED outside the repo and the package
+                # ships ONLY via --py-files, so a torscrapper_spark
+                # import succeeding proves the zip path works
+                # (sys.path[0] is the staged script's dir; the repo is
+                # on neither sys.path nor PYTHONPATH). Graphs are
+                # reused via TS_CACHE_DIR.
                 stage = tempfile.mkdtemp(prefix="ts_submit_")
-                script = os.path.join(stage, "bench_submit.py")
-                shutil.copy(os.path.abspath(__file__), script)
                 env["TS_CACHE_DIR"] = CACHE_DIR
-                # mirror the in-process legs' per-mode heap choice: the
-                # child's own SPARK_DRIVER_MEM=8g override cannot resize
-                # an already-running spark-submit JVM, so without this
-                # the submit leg ran 16g against in-process-8g numbers —
-                # a config skew in the published deployment evidence
-                mem = (
-                    "8g" if mode == "scaling"
-                    else env.get("SPARK_DRIVER_MEM", "8g")
-                )
-                cmd = [
-                    shutil.which("spark-submit") or "spark-submit",
-                    "--master", f"local[{n}]",
-                    "--driver-memory", mem,
-                    "--driver-java-options",
-                    f"-Xms{mem} -XX:+AlwaysPreTouch",
-                    "--py-files", zip_path,
-                    script, "--one", str(n), out, mode,
-                ]
+                cmd = submit_leg_cmd(n, out, mode, package_zip(), stage)
                 cwd = stage
             else:
                 cmd = [sys.executable, os.path.abspath(__file__), "--one",

@@ -35,7 +35,13 @@ import time
 REPO = "/root/repo"
 sys.path.insert(0, REPO)
 from bench import (  # noqa: E402
-    CACHE_DIR, fresh_spark, prepare_graph, scaling_graph_cfg, tenancy_probe,
+    CACHE_DIR,
+    fresh_spark,
+    package_zip,
+    prepare_graph,
+    scaling_graph_cfg,
+    submit_leg_cmd,
+    tenancy_probe,
 )
 from tools import holdfile  # noqa: E402
 
@@ -59,26 +65,16 @@ def log(msg):
 
 
 def submit_leg(n: int, zip_path: str) -> dict:
+    """One leg through bench's shared deployment shape (package zip +
+    staged-outside-the-repo driver script, bench.submit_leg_cmd) — the
+    pair cannot drift from the single-leg deployment evidence."""
     fd, out = tempfile.mkstemp(suffix=".json")
     os.close(fd)
     stage = tempfile.mkdtemp(prefix="ts_submitpair_")
-    script = os.path.join(stage, "bench_submit.py")
-    shutil.copy(os.path.join(REPO, "bench.py"), script)
     env = dict(os.environ)
     env["TS_CACHE_DIR"] = CACHE_DIR
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # mirror bench.run_leg's submit branch exactly: scaling mode pins an
-    # 8g fully-pretouched heap, and the package resolves ONLY from the
-    # shipped zip (stage dir is outside the repo, repo not on any path)
-    mem = "8g"
-    cmd = [
-        shutil.which("spark-submit") or "spark-submit",
-        "--master", f"local[{n}]",
-        "--driver-memory", mem,
-        "--driver-java-options", f"-Xms{mem} -XX:+AlwaysPreTouch",
-        "--py-files", zip_path,
-        script, "--one", str(n), out, "scaling",
-    ]
+    cmd = submit_leg_cmd(n, out, "scaling", zip_path, stage)
     try:
         subprocess.run(cmd, check=True, env=env, cwd=stage)
         with open(out) as f:
@@ -145,10 +141,7 @@ def main() -> None:
         spark = fresh_spark(4)
         prepare_graph(spark, scaling_graph_cfg(), with_pagestore=False)
         spark.stop()
-        zip_path = shutil.make_archive(
-            os.path.join(CACHE_DIR, "torscrapper_spark_pkg"), "zip",
-            root_dir=REPO, base_dir="torscrapper_spark",
-        )
+        zip_path = package_zip()
         legs = {}
         for n in PAIR:
             try:
