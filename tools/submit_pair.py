@@ -48,6 +48,10 @@ from tools import holdfile  # noqa: E402
 BENCH_DIR = os.path.join(REPO, "BENCH")
 HOLD = os.path.join(BENCH_DIR, ".watch_hold")
 OUT = os.path.join(BENCH_DIR, "submit_pair_r05.json")
+# every attempt (adopted or not) appends here so a rejected re-run is
+# recorded in the committed evidence set, not just /tmp — the same
+# no-silent-discard rule the store-refresh waiters follow
+ATTEMPTS = os.path.join(BENCH_DIR, "submit_pair_attempts_r05.jsonl")
 LOG = "/tmp/submit_pair.log"
 RESULT = "/tmp/submit_pair.result"
 PAIR = (4, 16)
@@ -202,6 +206,9 @@ def main() -> None:
         except (OSError, ValueError):
             prior_eff = None
     adopted = prior_eff is None or eff > prior_eff
+    with open(ATTEMPTS, "a") as f:
+        f.write(json.dumps({**rec, "adopted": adopted,
+                            "prior_eff": prior_eff}) + "\n")
     if adopted:
         with open(OUT, "w") as f:
             json.dump(rec, f, indent=1)
